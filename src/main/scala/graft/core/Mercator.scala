@@ -1,0 +1,138 @@
+package graft.core
+
+/** WGS84 → Web Mercator (EPSG:3857) projection and the Web-Mercator tile
+  * grid (the reference's `squarepeg::{WebMercatorPos, MapGrid, Peg}`,
+  * inferred from call sites at /root/reference/wyrmcast/src/osm.rs:196-198
+  * and tile.rs:41-50 — re-derived from the public EPSG:3857 definition).
+  */
+object Mercator {
+  /** WGS84 ellipsoid equatorial radius (meters). */
+  val R: Double = 6378137.0
+
+  /** Half the Web-Mercator world span: π·R. */
+  val HalfWorld: Double = math.Pi * R
+
+  /** Project lon/lat degrees to Web Mercator meters. */
+  def project(lon: Double, lat: Double): Pt = {
+    val x = R * math.toRadians(lon)
+    val y = R * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
+    Pt(x, y)
+  }
+
+  /** Inverse projection (used by tests for round-trips, reference
+    * earthwyrm/src/state.rs:154-184 analog). */
+  def unproject(p: Pt): (Double, Double) = {
+    val lon = math.toDegrees(p.x / R)
+    val lat = math.toDegrees(2.0 * math.atan(math.exp(p.y / R)) - math.Pi / 2.0)
+    (lon, lat)
+  }
+}
+
+/** Tile id (z/x/y); valid iff x,y < 2^z and z ≤ 29 (packing limit; the
+  * reference allows z ≤ 30, wyrmcast/src/layer.rs:13-14, but never packs).
+  * The reference calls this a `Peg`. */
+final case class TileId(z: Int, x: Int, y: Int) {
+  require(z >= 0 && z <= TileId.MaxZ, s"invalid zoom $z")
+  require(x >= 0 && x < (1 << z) && y >= 0 && y < (1 << z),
+    s"invalid tile $z/$x/$y")
+  def packed: Long = TileId.pack(z, x, y)
+  override def toString: String = s"$z/$x/$y"
+}
+
+object TileId {
+  /** Max packable zoom: 5 bits z + 29 bits x + 29 bits y = 63 bits. */
+  val MaxZ = 29
+
+  def pack(z: Int, x: Int, y: Int): Long =
+    (z.toLong << 58) | (x.toLong << 29) | y.toLong
+
+  def unpack(id: Long): TileId =
+    TileId((id >>> 58).toInt, ((id >>> 29) & 0x1FFFFFFFL).toInt,
+      (id & 0x1FFFFFFFL).toInt)
+}
+
+/** The Web-Mercator quadtree grid: tile bboxes, tile-local transforms, and
+  * bbox→tile-range covers. Row 0 is the northernmost (y decreases as the
+  * tile row increases). This quadkey cell IS our H3/S2-style spatial cell
+  * (SURVEY.md §2.8). */
+object TileGrid {
+  import Mercator.HalfWorld
+
+  /** World span in meters for zoom z per-tile span. */
+  def tileSpan(z: Int): Double = 2.0 * HalfWorld / (1L << z).toDouble
+
+  /** Web-Mercator extent of tile z/x/y (reference `MapGrid::peg_bbox`,
+    * tile.rs:41). */
+  def tileBBox(z: Int, x: Int, y: Int): BBox = {
+    val span = tileSpan(z)
+    val xmin = -HalfWorld + x * span
+    val ymax = HalfWorld - y * span
+    BBox(xmin, ymax - span, xmin + span, ymax)
+  }
+
+  /** Margin-expanded tile bbox (reference TileCfg::new, tile.rs:34-48):
+    * margin is a fraction `margin/extent` of the tile span per side. */
+  def tileBBoxWithMargin(z: Int, x: Int, y: Int, extent: Int,
+                         margin: Int): BBox = {
+    val b = tileBBox(z, x, y)
+    val frac = margin.toDouble / extent.toDouble
+    b.expand(frac * (b.xmax - b.xmin), frac * (b.ymax - b.ymin))
+  }
+
+  /** Affine mapping Web Mercator → tile-local [0,extent]² with y-down
+    * (reference `peg_transform(peg).scale(extent, extent)`, tile.rs:49-50).
+    */
+  def tileTransform(z: Int, x: Int, y: Int, extent: Int): Affine = {
+    val b = tileBBox(z, x, y)
+    val span = b.xmax - b.xmin
+    Affine(1.0 / span, -1.0 / span, -b.xmin / span, b.ymax / span)
+      .scale(extent.toDouble, extent.toDouble)
+  }
+
+  /** MVT margin by zoom (reference mvtenc.rs:213-222). */
+  def mvtZoomMargin(z: Int): Int = z match {
+    case zz if zz <= 12 => 8
+    case 13 => 16
+    case 14 => 32
+    case 15 => 64
+    case 16 => 128
+    case _ => 256
+  }
+
+  /** Wyrm (SVG) margin — fixed, for point markers on tile edges
+    * (reference wyrmenc.rs:27-28). */
+  val WyrmMargin = 28
+
+  /** All tiles at zoom z whose margin-expanded bbox intersects (inclusively)
+    * the given feature bbox — the batch inversion of the reference's R-tree
+    * `query(bbox)` (SURVEY.md §2.3 J4). Inclusive-touch boundaries produce
+    * BOTH adjacent tiles, matching the inclusive `intersects` test.
+    *
+    * Returns packed tile ids, row-major.
+    */
+  def cover(z: Int, fb: BBox, extent: Int, margin: Int): Array[Long] = {
+    if (fb.xmin > fb.xmax || fb.ymin > fb.ymax) return Array.empty
+    val span = tileSpan(z)
+    val m = (margin.toDouble / extent.toDouble) * span
+    val n = (1 << z) - 1
+    // x: tile t expanded range [X0 + t·span − m, X0 + (t+1)·span + m]
+    def ceilM1(v: Double): Long = math.ceil(v).toLong - 1
+    val x0 = math.max(0L, ceilM1((fb.xmin - m + HalfWorld) / span))
+    val x1 = math.min(n.toLong, math.floor((fb.xmax + m + HalfWorld) / span).toLong)
+    // y (row 0 north): tile r covers [Ymax−(r+1)span−m, Ymax−r·span+m]
+    val y0 = math.max(0L, ceilM1((HalfWorld - fb.ymax - m) / span))
+    val y1 = math.min(n.toLong, math.floor((HalfWorld - fb.ymin + m) / span).toLong)
+    if (x0 > x1 || y0 > y1) return Array.empty
+    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var yy = y0
+    while (yy <= y1) {
+      var xx = x0
+      while (xx <= x1) {
+        out(i) = TileId.pack(z, xx.toInt, yy.toInt); i += 1; xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+}

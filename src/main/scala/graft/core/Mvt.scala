@@ -1,0 +1,189 @@
+package graft.core
+
+import java.io.ByteArrayOutputStream
+import scala.collection.mutable
+
+/** Minimal protobuf writer — just what Mapbox Vector Tile 2.1 needs.
+  * Written from the public MVT 2.1 spec + protobuf wire format docs
+  * (the reference delegates to the `mvt` crate; see SURVEY.md §2.7 G3-G5).
+  */
+final class ProtoWriter {
+  private val out = new ByteArrayOutputStream(256)
+
+  def writeVarint(v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write((v & 0x7F).toInt)
+  }
+
+  def key(field: Int, wire: Int): Unit = writeVarint((field << 3) | wire)
+
+  def varintField(field: Int, v: Long): Unit = { key(field, 0); writeVarint(v) }
+
+  def bytesField(field: Int, b: Array[Byte]): Unit = {
+    key(field, 2); writeVarint(b.length.toLong); out.write(b)
+  }
+
+  def stringField(field: Int, s: String): Unit =
+    bytesField(field, s.getBytes("UTF-8"))
+
+  def packedField(field: Int, vals: Iterable[Long]): Unit = {
+    val p = new ProtoWriter
+    vals.foreach(p.writeVarint)
+    bytesField(field, p.toBytes)
+  }
+
+  def toBytes: Array[Byte] = out.toByteArray
+}
+
+object ProtoWriter {
+  def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xFFFFFFFFL
+  def zigzag64(v: Long): Long = (v << 1) ^ (v >> 63)
+}
+
+/** MVT geometry command encoder (semantics mirror the reference's use of
+  * `mvt::GeomEncoder` at /root/reference/wyrmcast/src/mvtenc.rs:48-62,
+  * 88-114, 140-164; command/param encoding per the public MVT 2.1 spec:
+  * command integer = (id & 0x7) | (count << 3), MoveTo=1, LineTo=2,
+  * ClosePath=7, params zigzag-delta).
+  *
+  * Points are clamped into the margin bbox, transformed, and rounded
+  * half-away-from-zero — the same clamp-transform-round as TileCfg.xform.
+  * Consecutive coincident integer points within a geom are dropped for
+  * line/polygon types; degenerate geoms (lines < 2 pts, rings < 3 pts after
+  * removing a duplicated closing point) are elided.
+  */
+final class MvtGeomEncoder(geomTp: GeomTp, bbox: BBox, transform: Affine) {
+  private val geoms = mutable.ArrayBuffer.empty[Vector[(Int, Int)]]
+  private var current = mutable.ArrayBuffer.empty[(Int, Int)]
+
+  def addPoint(x: Double, y: Double): Unit = {
+    val p = transform(bbox.clamp(Pt(x, y)))
+    val ip = (Geom.rustRound(p.x), Geom.rustRound(p.y))
+    geomTp match {
+      case GeomTp.Point => current += ip
+      case _ =>
+        if (current.isEmpty || current.last != ip) current += ip
+    }
+  }
+
+  /** End the current geometry (a gap in a clipped linestring, or a ring
+    * boundary). */
+  def completeGeom(): Unit = {
+    if (current.nonEmpty) {
+      val g = geomTp match {
+        case GeomTp.Point => current.toVector
+        case GeomTp.Linestring =>
+          if (current.length >= 2) current.toVector else Vector.empty
+        case GeomTp.Polygon =>
+          // drop duplicated closing point (rings from OSM closed ways
+          // carry first == last); ClosePath implies the closing segment
+          val v =
+            if (current.length >= 2 && current.head == current.last)
+              current.dropRight(1).toVector
+            else current.toVector
+          if (v.length >= 3) v else Vector.empty
+      }
+      if (g.nonEmpty) geoms += g
+      current = mutable.ArrayBuffer.empty[(Int, Int)]
+    }
+  }
+
+  def isEmpty: Boolean = { geoms.forall(_.isEmpty) && current.isEmpty }
+
+  /** Encode to MVT command/param integers. */
+  def encode(): Array[Long] = {
+    completeGeom()
+    val cmds = mutable.ArrayBuffer.empty[Long]
+    var px = 0; var py = 0
+    def params(pts: Seq[(Int, Int)]): Unit = pts.foreach { case (x, y) =>
+      cmds += ProtoWriter.zigzag32(x - px)
+      cmds += ProtoWriter.zigzag32(y - py)
+      px = x; py = y
+    }
+    geomTp match {
+      case GeomTp.Point =>
+        val all = geoms.flatten
+        if (all.nonEmpty) {
+          cmds += ((1L) | (all.length.toLong << 3)) // MoveTo × n
+          params(all.toSeq)
+        }
+      case GeomTp.Linestring =>
+        geoms.foreach { g =>
+          cmds += (1L | (1L << 3)); params(g.take(1))
+          cmds += (2L | ((g.length - 1).toLong << 3)); params(g.drop(1))
+        }
+      case GeomTp.Polygon =>
+        geoms.foreach { g =>
+          cmds += (1L | (1L << 3)); params(g.take(1))
+          cmds += (2L | ((g.length - 1).toLong << 3)); params(g.drop(1))
+          cmds += 7L // ClosePath
+        }
+    }
+    cmds.toArray
+  }
+}
+
+/** One encoded MVT feature: geometry commands + tag values. */
+final case class MvtFeature(
+    geomTp: GeomTp,
+    geometry: Array[Long],
+    tags: Seq[(String, Either[String, Long])]) // key → string | sint value
+
+/** MVT layer builder with key/value interning (MVT 2.1 layer message).
+  * Invalid sint values are warned-and-dropped upstream (reference
+  * mvtenc.rs:33-40). */
+final class MvtLayer(name: String, extent: Int) {
+  private val features = mutable.ArrayBuffer.empty[MvtFeature]
+  def addFeature(f: MvtFeature): Unit = if (f.geometry.nonEmpty) features += f
+  def numFeatures: Int = features.length
+
+  def encode(): Array[Byte] = {
+    val keys = mutable.LinkedHashMap.empty[String, Int]
+    val values = mutable.LinkedHashMap.empty[Either[String, Long], Int]
+    val w = new ProtoWriter
+    w.stringField(1, name)
+    features.foreach { f =>
+      val fw = new ProtoWriter
+      val tagIdx = f.tags.flatMap { case (k, v) =>
+        val ki = keys.getOrElseUpdate(k, keys.size)
+        val vi = values.getOrElseUpdate(v, values.size)
+        Seq(ki.toLong, vi.toLong)
+      }
+      fw.packedField(2, tagIdx)
+      fw.varintField(3, f.geomTp match {
+        case GeomTp.Point => 1L
+        case GeomTp.Linestring => 2L
+        case GeomTp.Polygon => 3L
+      })
+      fw.packedField(4, f.geometry.toSeq)
+      w.bytesField(2, fw.toBytes)
+    }
+    keys.keys.foreach(k => w.stringField(3, k))
+    values.keys.foreach {
+      case Left(s) =>
+        val vw = new ProtoWriter; vw.stringField(1, s)
+        w.bytesField(4, vw.toBytes)
+      case Right(i) =>
+        val vw = new ProtoWriter; vw.varintField(6, ProtoWriter.zigzag64(i))
+        w.bytesField(4, vw.toBytes)
+    }
+    w.varintField(5, extent.toLong)
+    w.varintField(15, 2L) // version
+    w.toBytes
+  }
+}
+
+object MvtTile {
+  /** Assemble layer payloads into a tile. MVT layers are independent
+    * length-delimited protobuf fields, so concatenation of the per-layer
+    * field bytes IS a valid tile (SURVEY.md §2.4 A4). */
+  def assemble(layerBytes: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new ProtoWriter
+    layerBytes.foreach(b => w.bytesField(3, b))
+    w.toBytes
+  }
+}

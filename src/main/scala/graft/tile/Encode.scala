@@ -1,0 +1,198 @@
+package graft.tile
+
+import graft.core._
+import graft.model.Ring
+
+/** Per-feature geometry encoding for both output formats — pure Scala,
+  * invoked inside the per-(tile, layer) aggregation stage.
+  * Ports the reference encoders exactly:
+  *   MVT   /root/reference/wyrmcast/src/mvtenc.rs:48-62, 88-114, 140-164
+  *   Wyrm  /root/reference/wyrmcast/src/{point,linestring,polygon}.rs
+  */
+object Encode {
+
+  def ringBBox(r: Ring): BBox = {
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = Double.MinValue; var y1 = Double.MinValue
+    var i = 0
+    while (i < r.xs.length) {
+      if (r.xs(i) < x0) x0 = r.xs(i); if (r.xs(i) > x1) x1 = r.xs(i)
+      if (r.ys(i) < y0) y0 = r.ys(i); if (r.ys(i) > y1) y1 = r.ys(i)
+      i += 1
+    }
+    BBox(x0, y0, x1, y1)
+  }
+
+  /** Tag values for a feature: (tag, value, sint) triples in include order
+    * with nulls dropped (layer.rs:347-361). */
+  def tagValues(layer: LayerDef, values: Seq[String])
+      : Seq[(String, String, Boolean)] =
+    layer.tagValues(values.map(Option(_)))
+
+  /** MVT feature tags; invalid sint → warn-and-drop (mvtenc.rs:33-40). */
+  def mvtTags(layer: LayerDef, values: Seq[String])
+      : Seq[(String, Either[String, Long])] =
+    tagValues(layer, values).flatMap { case (tag, v, sint) =>
+      if (sint) v.toLongOption.map(l => (tag, Right(l)))
+      else Some((tag, Left(v)))
+    }
+
+  // ------------------------------------------------------------------ MVT
+
+  /** Encode one feature's geometry to MVT commands; empty → elide. */
+  def mvtGeometry(geomTp: GeomTp, rings: Seq[Ring], cfg: TileCfg)
+      : Array[Long] = {
+    val enc = new MvtGeomEncoder(geomTp, cfg.bbox, cfg.transform)
+    geomTp match {
+      case GeomTp.Point =>
+        rings.foreach { r =>
+          var i = 0
+          while (i < r.xs.length) {
+            if (cfg.bbox.contains(Pt(r.xs(i), r.ys(i))))
+              enc.addPoint(r.xs(i), r.ys(i))
+            i += 1
+          }
+        }
+      case GeomTp.Linestring =>
+        // segment-level clip: an excluded segment splits the geometry
+        rings.foreach { r =>
+          var connected = false
+          var i = 0
+          while (i < r.xs.length - 1) {
+            val segBB = BBox(
+              math.min(r.xs(i), r.xs(i + 1)), math.min(r.ys(i), r.ys(i + 1)),
+              math.max(r.xs(i), r.xs(i + 1)), math.max(r.ys(i), r.ys(i + 1)))
+            if (segBB.intersects(cfg.bbox)) {
+              if (!connected) {
+                enc.completeGeom()
+                enc.addPoint(r.xs(i), r.ys(i))
+              }
+              enc.addPoint(r.xs(i + 1), r.ys(i + 1))
+              connected = true
+            } else connected = false
+            i += 1
+          }
+        }
+      case GeomTp.Polygon =>
+        // rings emitted whole — no geometric clip (mvtenc.rs:148-163)
+        rings.foreach { r =>
+          if (r.xs.length >= 2) {
+            enc.completeGeom()
+            var i = 0
+            while (i < r.xs.length) {
+              enc.addPoint(r.xs(i), r.ys(i)); i += 1
+            }
+            enc.completeGeom()
+          }
+        }
+    }
+    enc.encode()
+  }
+
+  // ----------------------------------------------------------------- Wyrm
+
+  /** Wyrm point feature: an inner <g> with tag attrs + a <use> per in-bbox
+    * point (point.rs:20-91). Always "found" once the feature is a bbox
+    * candidate. */
+  def wyrmPoint(layer: LayerDef, values: Seq[String], rings: Seq[Ring],
+                cfg: TileCfg): String = {
+    val g2 = new SvgElem("g")
+    var rotate = 0
+    tagValues(layer, values).foreach { case (tag, value, _) =>
+      if (tag == "name") g2.cls(layer.className(Some(value)))
+      else if (tag == "rotate")
+        rotate = value.toShortOption.map(_.toInt).getOrElse(0)
+      else g2.data(tag, value)
+    }
+    val marker = s"#${layer.name}-marker"
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.xs.length) {
+        val p = Pt(r.xs(i), r.ys(i))
+        if (cfg.bbox.contains(p)) {
+          val (x, y) = cfg.xform(p)
+          val u = g2.child(new SvgElem("use"))
+          u.attr("href", marker)
+          val style =
+            (if (rotate != 0) s"rotate: ${rotate}deg; " else "") +
+              s"translate: ${x}px ${y}px"
+          u.attr("style", style)
+        }
+        i += 1
+      }
+    }
+    g2.render()
+  }
+
+  private def pathAttrs(path: SvgElem, layer: LayerDef, osm: Boolean,
+                        values: Seq[String]): Unit =
+    tagValues(layer, values).foreach { case (tag, value, sint) =>
+      if (tag == "osm_id" && sint) path.cls(s"osm-$value")
+      else if (osm) path.data(tag, value)
+      else path.cls(layer.className(Some(value)))
+    }
+
+  /** Wyrm linestring feature; None when no line's bbox intersects
+    * (linestring.rs:40-58, 81-84). */
+  def wyrmLinestring(layer: LayerDef, osm: Boolean, values: Seq[String],
+                     rings: Seq[Ring], cfg: TileCfg): Option[String] = {
+    if (!rings.exists(r => r.xs.nonEmpty && ringBBox(r).intersects(cfg.bbox)))
+      return None
+    val b = new SvgPathBuilder
+    rings.foreach { r =>
+      if (r.xs.nonEmpty && ringBBox(r).intersects(cfg.bbox)) {
+        var start = true
+        val chain = cfg.pointChain()
+        def drainTo(n: Int): Unit =
+          while (chain.len > n) chain.popFront().foreach { p =>
+            val (x, y) = cfg.xform(p)
+            if (start) { b.moveTo(x, y); start = false } else b.lineTo(x, y)
+          }
+        var i = 0
+        while (i < r.xs.length) {
+          chain.pushBack(Pt(r.xs(i), r.ys(i)))
+          drainTo(2)
+          i += 1
+        }
+        drainTo(0)
+      }
+    }
+    val path = new SvgElem("path")
+    pathAttrs(path, layer, osm, values)
+    path.attr("d", b.result())
+    Some(path.render())
+  }
+
+  /** Wyrm polygon feature; per-ring bbox gate + connect + close
+    * (polygon.rs:82-116). */
+  def wyrmPolygon(layer: LayerDef, osm: Boolean, values: Seq[String],
+                  rings: Seq[Ring], cfg: TileCfg): Option[String] = {
+    if (!rings.exists(r => r.xs.nonEmpty && ringBBox(r).intersects(cfg.bbox)))
+      return None
+    val b = new SvgPathBuilder
+    rings.foreach { r =>
+      if (r.xs.nonEmpty && ringBBox(r).intersects(cfg.bbox)) {
+        var start = true
+        val chain = cfg.pointChain()
+        def drainTo(n: Int): Unit =
+          while (chain.len > n) chain.popFront().foreach { p =>
+            val (x, y) = cfg.xform(p)
+            if (start) { b.moveTo(x, y); start = false } else b.lineTo(x, y)
+          }
+        var i = 0
+        while (i < r.xs.length) {
+          chain.pushBack(Pt(r.xs(i), r.ys(i)))
+          drainTo(2)
+          i += 1
+        }
+        chain.connect()
+        drainTo(0)
+        if (!start) b.close()
+      }
+    }
+    val path = new SvgElem("path")
+    pathAttrs(path, layer, osm, values)
+    path.attr("d", b.result())
+    Some(path.render())
+  }
+}
