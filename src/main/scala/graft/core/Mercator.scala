@@ -12,10 +12,13 @@ object Mercator {
   /** Half the Web-Mercator world span: π·R. */
   val HalfWorld: Double = math.Pi * R
 
-  /** Project lon/lat degrees to Web Mercator meters. */
+  /** Project lon/lat degrees to Web Mercator meters.
+    * StrictMath.log, NOT Math.log: Spark's `log` expression evaluates via
+    * StrictMath, and the engine/oracle must agree bit-for-bit. */
   def project(lon: Double, lat: Double): Pt = {
     val x = R * math.toRadians(lon)
-    val y = R * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
+    val y = R * StrictMath.log(
+      math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
     Pt(x, y)
   }
 

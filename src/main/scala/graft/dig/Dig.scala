@@ -26,7 +26,7 @@ object Dig {
     * Equal → value ∈ set (missing matches iff "_" ∈ set);
     * NotEqual → negation. */
   def patternPredicate(p: TagPattern, tags: Column): Column = {
-    val v = element_at(tags, p.tag)
+    val v = try_element_at(tags, lit(p.tag)) // null-safe under ANSI
     val in = when(v.isNull, lit(p.values.contains("_")))
       .otherwise(v.isin(p.values: _*))
     if (p.equal) in else !in
@@ -52,7 +52,8 @@ object Dig {
     def arrFor(l: LayerDef): Column =
       if (l.includeTags.isEmpty) array().cast("array<string>")
       else array(l.includeTags.map { case (t, _) =>
-        if (t == "osm_id") id.cast("string") else element_at(tags, t)
+        if (t == "osm_id") id.cast("string")
+        else try_element_at(tags, lit(t))
       }: _*)
     layers.foldRight(lit(null).cast("array<string>")) { (l, acc) =>
       when(layer === l.name, arrFor(l)).otherwise(acc)
@@ -184,7 +185,8 @@ object Dig {
     val wayPolyFeatures = wayWithCoords
       .where($"layer".isin(polyLayers: _*))
       .where(size($"node_refs") > 1 &&
-        element_at($"node_refs", 1) === element_at($"node_refs", -1))
+        get($"node_refs", lit(0)) ===
+          get($"node_refs", size($"node_refs") - 1))
       .select($"layer", lit(1).as("kind_rank"), $"id",
         vals($"id", $"tags").as("values"),
         lineRings($"n_missing", $"xs", $"ys").as("rings"))

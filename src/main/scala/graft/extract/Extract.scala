@@ -21,30 +21,31 @@ object Extract {
     * Input schema: (doc_id string, spans array<struct<kind,text,media_ref,
     * offset>>). */
   def entities(docs: DataFrame): DataFrame = {
-    val meta = element_at(ofKind(col("spans"), "meta"), 1)("text")
+    // `get` (0-based) is null-safe under ANSI mode, unlike element_at
+    val meta = get(ofKind(col("spans"), "meta"), lit(0))("text")
     val metaParts = split(meta, " ")
-    val coord = element_at(ofKind(col("spans"), "coord"), 1)("text")
+    val coord = get(ofKind(col("spans"), "coord"), lit(0))("text")
     val coordParts = split(coord, " ")
     docs
       .where(meta.isNotNull)
       .select(
-        element_at(metaParts, 1).as("entity_kind"),
-        element_at(metaParts, 2).cast("long").as("id"),
+        get(metaParts, lit(0)).as("entity_kind"),
+        get(metaParts, lit(1)).cast("long").as("id"),
         map_from_entries(transform(ofKind(col("spans"), "tag"), s =>
           struct(
             substring_index(s("text"), "=", 1).as("key"),
             s("text").substr(instr(s("text"), "=") + 1,
               length(s("text"))).as("value")))).as("tags"),
-        element_at(coordParts, 1).cast("double").as("lat"),
-        element_at(coordParts, 2).cast("double").as("lon"),
+        get(coordParts, lit(0)).cast("double").as("lat"),
+        get(coordParts, lit(1)).cast("double").as("lon"),
         transform(ofKind(col("spans"), "ref"),
           s => s("text").cast("long")).as("node_refs"),
         transform(ofKind(col("spans"), "member"), s => {
           val p = split(s("text"), " ")
           struct(
-            element_at(p, 1).as("role"),
-            element_at(p, 2).as("ref_kind"),
-            element_at(p, 3).cast("long").as("ref_id"))
+            get(p, lit(0)).as("role"),
+            get(p, lit(1)).as("ref_kind"),
+            get(p, lit(2)).cast("long").as("ref_id"))
         }).as("members"))
   }
 

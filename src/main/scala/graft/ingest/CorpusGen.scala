@@ -240,9 +240,13 @@ object CorpusGen {
     val i4 = b.node(45.0030000, -93.2900000)
     val wI1 = b.way(Seq(i1, i2, i3), Map.empty)
     val wI2 = b.way(Seq(i3, i4, i1), Map.empty)
+    // a CLOSED, non-matching member way (role=other): skipped by ring
+    // assembly but — G8 quirk — becomes its own county polygon feature
+    val och = b.rectRing(45.0070000, -93.2870000, 45.0080000, -93.2860000)
+    val wOther = b.way(och, Map("landuse" -> "grass"))
     b.rel(Seq(Member("inner", "way", wI1), Member("outer", "way", wA),
       Member("outer", "way", wC), Member("inner", "way", wI2),
-      Member("outer", "way", wB)),
+      Member("other", "way", wOther), Member("outer", "way", wB)),
       Map("type" -> "boundary", "boundary" -> "administrative",
         "admin_level" -> "6", "name" -> "Micro County"))
     // closed way matching `building` (bare-tag pattern)
