@@ -1,13 +1,630 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.dig.Dig
+import graft.expr.GeoFunctions
+import graft.extract.Extract
+import graft.ingest.CorpusGen
+import graft.model.Feature
+import graft.pipeline.PipelineOps
+import graft.query.{Query, Raster}
+import graft.tile.Pyramid
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent SQL oracle wherever the op is
+  * SQL-expressible. Engine-specific ops (tile encode etc.) are rows-only
+  * here and verified byte-for-byte against the single-node oracle in
+  * `sbt -batch test`. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val cfg = EngineCfg.default
+
+  // ---------------------------------------------------------------- corpus
+
+  /** Deterministic interleaved-doc corpus written once per run to a fixed
+    * path so DuckDB oracles can read the *same* rows via read_parquet. */
+  private val EwDocsSmall = "/root/repo/data/ew_docs_small"
+  private val EwDocsMicro = "/root/repo/data/ew_docs_micro"
+  private val written = scala.collection.mutable.Set.empty[String]
+
+  private def ewDocs(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      import spark.implicits._
+      val (path, docs) =
+        if (sfDir.contains("0.001")) (EwDocsMicro, CorpusGen.microDocs())
+        else (EwDocsSmall, CorpusGen.docsLocal(CorpusGen.small))
+      if (!written.contains(path)) {
+        spark.createDataset(docs).toDF()
+          .coalesce(4).write.mode("overwrite").parquet(path)
+        written += path
+      }
+      spark.read.parquet(path)
+    }
+
+  private def ewFeatures(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[Feature] = {
+    val entities = Extract.entities(ewDocs(spark, sfDir))
+    Dig.features(spark, entities, cfg)
+  }
+
+  // ------------------------------------------------- synthetic geo columns
+
+  /** Deterministic world-spread lon/lat from an integer key — identical
+    * arithmetic is mirrored in the SQL oracles. */
+  private def synLon(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(360000L)).cast("double") / 1000.0 -
+      lit(180.0)
+  private def synLat(key: Column): Column =
+    pmod(key * lit(40503L), lit(160000L)).cast("double") / 1000.0 -
+      lit(80.0)
+  private val synLonSql =
+    "((((%K * 2654435761) %% 360000) + 360000) %% 360000) / 1000.0 - 180.0"
+  private val synLatSql =
+    "((((%K * 40503) %% 160000) + 160000) %% 160000) / 1000.0 - 80.0"
+  private def lonSql(k: String) = synLonSql.replace("%K", k)
+    .replace("%%", "%")
+  private def latSql(k: String) = synLatSql.replace("%K", k)
+    .replace("%%", "%")
+  private def mercXSql(lon: String) = s"6378137.0 * radians($lon)"
+  private def mercYSql(lat: String) =
+    s"6378137.0 * ln(tan(pi()/4.0 + radians($lat)/2.0))"
+
+  private def t(spark: SparkSession, sfDir: String, name: String) =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: full MVT pyramid on the micro corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val feats = ewFeatures(spark, "/root/testdata/sf0.001")
+    Pyramid.tiles(spark, feats, cfg, "tile", "mvt", 0, 14)
+      .toDF().select($"group", $"z", $"x", $"y",
+        length($"bytes").as("n_bytes"))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational operator demos (A7/§2.5 built-ins) ----
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q3_join_topk" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+      val c = t(s, d, "customer")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .where($"c_mktsegment" === "BUILDING")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+    "q4_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+      o.join(l.select($"l_orderkey".as("o_orderkey")), Seq("o_orderkey"),
+          "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    }),
+    "q5_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      // customers with no high-value order (NOT EXISTS)
+      c.join(o.where($"o_totalprice" > 150000)
+          .select($"o_custkey".as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }),
+    "q6_window" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_sum",
+          sum($"value".cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .where($"rn" <= 3)
+        .select($"event_id", $"user_id", $"rn", $"run_sum")
+    }),
+    "q7_rollup" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .rollup($"o_orderstatus", year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // ---- engine-analog ops with SQL oracles ----
+    "p1_tag_filter" -> ((s, d) => {
+      import s.implicits._
+      val tags = map(
+        lit("type"), $"p_type",
+        lit("brand"), $"p_brand",
+        lit("big"), when($"p_size" > 25, lit("yes")))
+      val layer = LayerDef("parts", "point", "0+", Seq(
+        "$osm_id", "?brand", "type=ECONOMY|SMALL", "big!=yes"))
+      t(s, d, "part")
+        .withColumn("tags", tags)
+        .where(layer.patterns.filter(_.mustMatch)
+          .map(Dig.patternPredicate(_, $"tags"))
+          .reduce(_ && _))
+        .select($"p_partkey",
+          Dig.valuesColumn(Seq(layer), lit("parts"), $"p_partkey",
+            $"tags").as("vals"))
+        .select($"p_partkey", get($"vals", lit(0)).as("v_osm_id"),
+          get($"vals", lit(1)).as("v_brand"))
+    }),
+    "f1_mercator" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_custkey",
+        round(GeoFunctions.mercX(synLon($"c_custkey")), 3).as("mx"),
+        round(GeoFunctions.mercY(synLat($"c_custkey")), 3).as("my"))
+    }),
+    "f2_tile_cell" -> ((s, d) => {
+      import s.implicits._
+      val x = GeoFunctions.mercX(synLon($"c_custkey"))
+      val y = GeoFunctions.mercY(synLat($"c_custkey"))
+      t(s, d, "customer")
+        .withColumn("cell", explode(GeoFunctions.tileCover(lit(7), x, y,
+          x, y, lit(0), lit(256))))
+        .select($"c_custkey",
+          shiftright($"cell", 29).bitwiseAND(lit((1L << 29) - 1))
+            .as("tx"),
+          $"cell".bitwiseAND(lit((1L << 29) - 1)).as("ty"))
+    }),
+    "j4_cover_explode" -> ((s, d) => {
+      import s.implicits._
+      val x = GeoFunctions.mercX(synLon($"s_suppkey"))
+      val y = GeoFunctions.mercY(synLat($"s_suppkey"))
+      t(s, d, "supplier")
+        .withColumn("cell", explode(GeoFunctions.tileCover(lit(5),
+          x - 50000.0, y - 50000.0, x + 50000.0, y + 50000.0,
+          lit(8), lit(256))))
+        .select($"s_suppkey",
+          shiftright($"cell", 29).bitwiseAND(lit((1L << 29) - 1))
+            .as("tx"),
+          $"cell".bitwiseAND(lit((1L << 29) - 1)).as("ty"))
+    }),
+    "j1_node_lookup_join" -> ((s, d) => {
+      import s.implicits._
+      // J1 shape: refs → posexplode → equi-join coords → ordered collect
+      val refs = t(s, d, "lineitem")
+        .groupBy($"l_orderkey".as("way_id"))
+        .agg(sort_array(collect_list(struct($"l_linenumber".as("pos"),
+          $"l_partkey".as("node_id")))).as("nds"))
+        .select($"way_id", posexplode($"nds").as(Seq("i", "nd")))
+        .select($"way_id", $"nd.pos".as("pos"), $"nd.node_id".as("node_id"))
+      val coords = t(s, d, "part").select($"p_partkey".as("node_id"),
+        round(GeoFunctions.mercX(synLon($"p_partkey")), 3).as("x"),
+        round(GeoFunctions.mercY(synLat($"p_partkey")), 3).as("y"))
+      refs.join(coords, Seq("node_id"))
+        .select($"way_id", $"pos", $"node_id", $"x", $"y")
+    }),
+    "knn_join" -> ((s, d) => {
+      import s.implicits._
+      val qs = t(s, d, "customer").where($"c_custkey" % 10 === 0)
+        .select($"c_custkey".as("qid"),
+          GeoFunctions.mercX(synLon($"c_custkey")).as("x"),
+          GeoFunctions.mercY(synLat($"c_custkey")).as("y"))
+      val ds = t(s, d, "supplier")
+        .select($"s_suppkey".as("did"),
+          GeoFunctions.mercX(synLon($"s_suppkey" + 500000)).as("x"),
+          GeoFunctions.mercY(synLat($"s_suppkey" + 500000)).as("y"))
+      Query.knnJoin(s, qs, ds, k = 3, z = 4)
+        .select($"qid", $"rank", $"did")
+    }),
+    "j5_point_in_polygon" -> ((s, d) => {
+      import s.implicits._
+      // diamond |x|+|y| ≤ 5e6 as a real ring through the PIP expression
+      val ring = struct(lit(true).as("outer"),
+        array(lit(5e6), lit(0.0), lit(-5e6), lit(0.0), lit(5e6)).as("xs"),
+        array(lit(0.0), lit(5e6), lit(0.0), lit(-5e6), lit(0.0)).as("ys"))
+      t(s, d, "customer")
+        .select($"c_custkey",
+          GeoFunctions.mercX(synLon($"c_custkey")).as("x"),
+          GeoFunctions.mercY(synLat($"c_custkey")).as("y"))
+        .where(GeoFunctions.pointInPolygon(array(ring), $"x", $"y"))
+        .select($"c_custkey")
+    }),
+    // ---- training-data pipeline ops ----
+    "dedup_exact" -> ((s, d) => PipelineOps.dedupExact(s, d)),
+    "dedup_minhash" -> ((s, d) => PipelineOps.dedupMinhash(s, d)),
+    "dedup_minhash_pairs" ->
+      ((s, d) => PipelineOps.dedupMinhashPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => PipelineOps.dedupSimhash(s, d)),
+    "dedup_ngram_jaccard" ->
+      ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
+    "ann_cosine_topk" -> ((s, d) => PipelineOps.annCosineTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
+    "text_lang_id" -> ((s, d) => PipelineOps.textLangId(s, d)),
+    "text_quality" -> ((s, d) => PipelineOps.textQuality(s, d)),
+    "text_token_count" -> ((s, d) => PipelineOps.textTokenCount(s, d)),
+    "text_fingerprint" -> ((s, d) => PipelineOps.textFingerprint(s, d)),
+    // ---- engine E2E over the interleaved corpus ----
+    "ew_entities" -> ((s, d) => {
+      import s.implicits._
+      Extract.entities(ewDocs(s, d)).select(
+        $"entity_kind", $"id",
+        round($"lat", 7).as("lat"), round($"lon", 7).as("lon"),
+        size($"node_refs").as("n_refs"), size($"members").as("n_members"),
+        size(map_entries($"tags")).as("n_tags"),
+        md5(array_join(sort_array(transform(map_entries($"tags"),
+          e => concat(e("key"), lit("="), e("value")))), "|"))
+          .as("tags_fp"),
+        md5(array_join(transform($"node_refs", r => r.cast("string")),
+          ",")).as("refs_fp"),
+        md5(array_join(transform($"members", m => concat_ws(" ",
+          m("role"), m("ref_kind"), m("ref_id").cast("string"))), "|"))
+          .as("members_fp"))
+    }),
+    "ew_node_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Extract.entities(ewDocs(s, d))
+      val ways = e.where($"entity_kind" === "way")
+        .select($"id".as("way_id"),
+          posexplode($"node_refs").as(Seq("pos", "node_id")))
+      val nodes = e.where($"entity_kind" === "node")
+        .select($"id".as("node_id"),
+          round(GeoFunctions.mercX($"lon"), 3).as("x"),
+          round(GeoFunctions.mercY($"lat"), 3).as("y"))
+      ways.join(nodes, Seq("node_id"))
+        .select($"way_id", $"pos", $"node_id", $"x", $"y")
+    }),
+    // ---- engine E2E, oracle-verified in sbt test (rows-only here) ----
+    "ew_features" -> ((s, d) => {
+      import s.implicits._
+      ewFeatures(s, d).toDF()
+        .select($"layer", $"kind_rank", $"id", size($"rings").as("n_rings"),
+          round($"xmin", 3).as("xmin_r"), round($"ymax", 3).as("ymax_r"))
+    }),
+    "ew_tiles_mvt" -> ((s, d) => {
+      import s.implicits._
+      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "mvt", 0, 14).toDF()
+        .select($"z", $"x", $"y", length($"bytes").as("n_bytes"),
+          md5($"bytes").as("tile_md5"))
+    }),
+    "ew_tiles_wyrm" -> ((s, d) => {
+      import s.implicits._
+      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "wyrm", 0, 14).toDF()
+        .select($"z", $"x", $"y", length($"bytes").as("n_bytes"),
+          md5($"bytes").as("tile_md5"))
+    }),
+    "ew_tile_lookup" -> ((s, d) => {
+      import s.implicits._
+      // the reference's canonical example tile (examples/make_mvt.rs:26-28)
+      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "mvt", 14, 14).toDF()
+        .where($"x" === 3946 && $"y" === 5895)
+        .select($"z", $"x", $"y", base64($"bytes").as("tile_b64"))
+    }),
+    "ew_point_query" -> ((s, d) =>
+      Query.pointQuery(s, ewFeatures(s, d), cfg, 45.001, -93.29)),
+    "ew_pip_query" -> ((s, d) =>
+      Query.pipQuery(s, ewFeatures(s, d), cfg, 45.001, -93.29)),
+    "ew_media_metadata" -> ((s, d) =>
+      Raster.mediaMetadata(s, ewDocs(s, d))),
+    "ew_rasterize" -> ((s, d) =>
+      Raster.rasterizeLayer(s, ewFeatures(s, d), cfg, "county", 10, 16))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** DuckDB-equivalent SQL. Omitted keys fall back to the driver's
+    * rows-only check; those are covered byte-for-byte by the oracle suite
+    * in `sbt -batch test` instead. */
+  def oracleSql: Map[String, String] = {
+    val lonC = lonSql("c_custkey"); val latC = latSql("c_custkey")
+    val lonS = lonSql("s_suppkey"); val latS = latSql("s_suppkey")
+    val lonP = lonSql("p_partkey"); val latP = latSql("p_partkey")
+    val lonS5 = lonSql("(s_suppkey + 500000)")
+    val latS5 = latSql("(s_suppkey + 500000)")
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           count(*) AS n_rows
+           FROM lineitem GROUP BY 1, 2""",
+      "q3_join_topk" ->
+        """SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      "q4_semi_join" ->
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey)
+           GROUP BY 1""",
+      "q5_anti_join" ->
+        """SELECT c_nationkey, count(*) AS n FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_totalprice > 150000)
+           GROUP BY 1""",
+      "q6_window" ->
+        """SELECT event_id, user_id, rn, run_sum FROM (
+             SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS run_sum
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           WHERE rn <= 3""",
+      "q7_rollup" ->
+        """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n
+           FROM orders GROUP BY ROLLUP(o_orderstatus, yr)""",
+      "p1_tag_filter" ->
+        """SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS v_osm_id,
+                  p_brand AS v_brand
+           FROM part
+           WHERE p_type IN ('ECONOMY','SMALL') AND NOT (p_size > 25)""",
+      "f1_mercator" ->
+        s"""SELECT c_custkey, round(${mercXSql(lonC)}, 3) AS mx,
+            round(${mercYSql(latC)}, 3) AS my FROM customer""",
+      "f2_tile_cell" ->
+        s"""WITH pts AS (SELECT c_custkey, ${mercXSql(lonC)} AS x,
+              ${mercYSql(latC)} AS y FROM customer),
+            world AS (SELECT c_custkey,
+              (x + 20037508.342789244) / (2*20037508.342789244/128.0)
+                AS vx,
+              (20037508.342789244 - y) / (2*20037508.342789244/128.0)
+                AS vy FROM pts),
+            xr AS (SELECT c_custkey, vy,
+              unnest(generate_series(
+                greatest(0, CAST(ceil(vx) AS BIGINT) - 1),
+                least(127, CAST(floor(vx) AS BIGINT)))) AS tx
+              FROM world)
+            SELECT c_custkey, tx,
+              unnest(generate_series(
+                greatest(0, CAST(ceil(vy) AS BIGINT) - 1),
+                least(127, CAST(floor(vy) AS BIGINT)))) AS ty
+            FROM xr""",
+      "j4_cover_explode" -> {
+        val span = "(2*20037508.342789244/32.0)"
+        s"""WITH pts AS (SELECT s_suppkey, ${mercXSql(lonS)} AS x,
+              ${mercYSql(latS)} AS y FROM supplier),
+            m AS (SELECT s_suppkey,
+              x - 50000.0 AS x0, x + 50000.0 AS x1,
+              y - 50000.0 AS y0, y + 50000.0 AS y1,
+              (8.0/256.0) * $span AS mg FROM pts),
+            xr AS (SELECT s_suppkey, y0, y1, mg,
+              unnest(generate_series(
+                greatest(0, CAST(ceil((x0 - mg + 20037508.342789244)
+                  / $span) AS BIGINT) - 1),
+                least(31, CAST(floor((x1 + mg + 20037508.342789244)
+                  / $span) AS BIGINT)))) AS tx FROM m)
+            SELECT s_suppkey, tx,
+              unnest(generate_series(
+                greatest(0, CAST(ceil((20037508.342789244 - y1 - mg)
+                  / $span) AS BIGINT) - 1),
+                least(31, CAST(floor((20037508.342789244 - y0 + mg)
+                  / $span) AS BIGINT)))) AS ty
+            FROM xr"""
+      },
+      "j1_node_lookup_join" ->
+        s"""SELECT l_orderkey AS way_id, l_linenumber AS pos,
+              l_partkey AS node_id,
+              round(${mercXSql(lonP)}, 3) AS x,
+              round(${mercYSql(latP)}, 3) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey""",
+      "knn_join" ->
+        s"""WITH q AS (SELECT c_custkey AS qid,
+              ${mercXSql(lonC)} AS x, ${mercYSql(latC)} AS y
+              FROM customer WHERE c_custkey % 10 = 0),
+            dd AS (SELECT s_suppkey AS did,
+              ${mercXSql(lonS5)} AS x, ${mercYSql(latS5)} AS y
+              FROM supplier)
+            SELECT qid, rank, did FROM (
+              SELECT q.qid, dd.did,
+                row_number() OVER (PARTITION BY q.qid ORDER BY
+                  (q.x-dd.x)*(q.x-dd.x) + (q.y-dd.y)*(q.y-dd.y), dd.did)
+                  AS rank
+              FROM q CROSS JOIN dd)
+            WHERE rank <= 3""",
+      "j5_point_in_polygon" ->
+        s"""SELECT c_custkey FROM (SELECT c_custkey,
+              ${mercXSql(lonC)} AS x, ${mercYSql(latC)} AS y
+              FROM customer)
+            WHERE abs(x) + abs(y) < 5000000.0""",
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+           min(doc_id) AS keep_id FROM documents GROUP BY 1""",
+      "dedup_minhash" ->
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws))
+           SELECT doc_id,
+             min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+             min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+           FROM sh GROUP BY doc_id""",
+      "dedup_minhash_pairs" ->
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
+           sig AS (SELECT doc_id, band,
+             min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+             FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
+             GROUP BY doc_id, band)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_bands
+           FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2""",
+      "dedup_simhash" ->
+        """WITH w AS (SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS w
+             FROM documents),
+           h AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM w),
+           bits AS (SELECT doc_id, b.b,
+             sum(((strpos('0123456789abcdef',
+               substr(h4, (b.b // 4) + 1, 1)) - 1) >> (3 - (b.b % 4)))
+               & 1) * 2 - count(*) AS s
+             FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+             GROUP BY doc_id, b.b)
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT)
+               AS simhash16
+           FROM bits GROUP BY doc_id""",
+      "dedup_ngram_jaccard" ->
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter
+             FROM sh a JOIN sh b ON a.sh = b.sh
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+             round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+               AS jaccard_r
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+      "ann_cosine_topk" ->
+        """WITH dot AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             list_sum(list_transform(generate_series(1, len(q.embedding)),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(
+                generate_series(1, len(q.embedding)),
+                i -> CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(q.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE)
+                     * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+             FROM embeddings e
+             JOIN embeddings q ON q.vec_id % 50 = 0
+               AND e.vec_id <> q.vec_id)
+           SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+           FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rank FROM dot)
+           WHERE rank <= 5""",
+      "text_lang_id" ->
+        """SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), w -> w IN
+               ('join','scan','agg','filter','sort','group','hash',
+                'merge','query','table'))) AS n_relational,
+             len(list_filter(string_split(text,' '), w -> w IN
+               ('stream','window','batch','late','event','watermark',
+                'trigger'))) AS n_streaming,
+             len(list_filter(string_split(text,' '), w -> w IN
+               ('slow','fast','big','small','spill','skew','memory')))
+               AS n_perf,
+             CASE
+               WHEN n_relational >= n_streaming AND n_relational >= n_perf
+                 AND n_relational > 0 THEN 'relational'
+               WHEN n_streaming >= n_relational AND n_streaming >= n_perf
+                 AND n_streaming > 0 THEN 'streaming'
+               WHEN n_perf >= n_relational AND n_perf >= n_streaming
+                 AND n_perf > 0 THEN 'perf'
+               ELSE 'other' END AS pred
+           FROM documents""",
+      "text_quality" ->
+        """SELECT doc_id, length(text) AS n_chars,
+             len(string_split(text,' ')) AS n_words,
+             len(list_distinct(string_split(text,' '))) AS n_uniq,
+             round(CAST(len(list_distinct(string_split(text,' ')))
+               AS DOUBLE) / len(string_split(text,' ')), 6) AS uniq_ratio,
+             round(CAST(length(text) - len(string_split(text,' ')) + 1
+               AS DOUBLE) / len(string_split(text,' ')), 6)
+               AS avg_word_len,
+             len(list_filter(string_split(text,' '),
+               w -> length(w) <= 2)) AS n_short
+           FROM documents""",
+      "text_token_count" ->
+        """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+             CAST(list_sum(list_transform(string_split(text,' '),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+               AS n_subwords
+           FROM documents""",
+      "text_fingerprint" ->
+        """SELECT doc_id, substr(md5(text), 1, 16) AS fp_md5,
+             md5(w[1] || '|' || w[(len(w) // 2) + 1] || '|' ||
+                 w[len(w)] || '|' || CAST(len(w) AS VARCHAR)) AS fp_sketch
+           FROM (SELECT doc_id, text, string_split(text,' ') AS w
+                 FROM documents)""",
+      "ew_entities" ->
+        s"""WITH docs AS (SELECT * FROM
+              read_parquet('$EwDocsSmall/*.parquet')),
+            base AS (SELECT doc_id, spans,
+              string_split(list_filter(spans,
+                s -> s.kind = 'meta')[1].text, ' ') AS meta,
+              list_filter(spans, s -> s.kind = 'coord') AS coords
+              FROM docs)
+            SELECT meta[1] AS entity_kind,
+              CAST(meta[2] AS BIGINT) AS id,
+              round(CAST(string_split(coords[1].text, ' ')[1] AS DOUBLE),
+                7) AS lat,
+              round(CAST(string_split(coords[1].text, ' ')[2] AS DOUBLE),
+                7) AS lon,
+              len(list_filter(spans, s -> s.kind = 'ref')) AS n_refs,
+              len(list_filter(spans, s -> s.kind = 'member'))
+                AS n_members,
+              len(list_filter(spans, s -> s.kind = 'tag')) AS n_tags,
+              md5(coalesce(array_to_string(list_sort(list_transform(
+                list_filter(spans, s -> s.kind = 'tag'), s -> s.text)),
+                '|'), '')) AS tags_fp,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(spans, s -> s.kind = 'ref'), s -> s.text),
+                ','), '')) AS refs_fp,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(spans, s -> s.kind = 'member'), s -> s.text),
+                '|'), '')) AS members_fp
+            FROM base""",
+      "ew_node_join" ->
+        s"""WITH docs AS (SELECT * FROM
+              read_parquet('$EwDocsSmall/*.parquet')),
+            ents AS (SELECT
+              string_split(list_filter(spans,
+                s -> s.kind = 'meta')[1].text, ' ') AS meta,
+              list_transform(list_filter(spans, s -> s.kind = 'ref'),
+                s -> CAST(s.text AS BIGINT)) AS refs,
+              list_filter(spans, s -> s.kind = 'coord') AS coords
+              FROM docs),
+            ways AS (SELECT CAST(meta[2] AS BIGINT) AS way_id, refs
+              FROM ents WHERE meta[1] = 'way'),
+            nodes AS (SELECT CAST(meta[2] AS BIGINT) AS node_id,
+              CAST(string_split(coords[1].text, ' ')[1] AS DOUBLE) AS lat,
+              CAST(string_split(coords[1].text, ' ')[2] AS DOUBLE) AS lon
+              FROM ents WHERE meta[1] = 'node'),
+            exploded AS (SELECT way_id,
+              unnest(generate_series(1, len(refs))) - 1 AS pos,
+              unnest(refs) AS node_id FROM ways)
+            SELECT e.way_id, e.pos, e.node_id,
+              round(${mercXSql("n.lon")}, 3) AS x,
+              round(${mercYSql("n.lat")}, 3) AS y
+            FROM exploded e JOIN nodes n USING (node_id)"""
+    )
+  }
 }
