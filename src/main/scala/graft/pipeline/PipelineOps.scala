@@ -149,37 +149,53 @@ object PipelineOps {
         round($"cos", 6).as("cos_r"))
   }
 
-  /** LSH-bucketed ANN (the 100 TB path): sign-bit bucket over `nPlanes`
-    * deterministic pseudo-random hyperplanes; candidates share a bucket.
+  /** LSH-bucketed ANN (the 100 TB path): `nTables` independent hash
+    * tables, each a sign-bit bucket over `planesPerTable` deterministic
+    * pseudo-random hyperplanes; candidates = union over tables of
+    * same-bucket vectors (the standard multi-table LSH trade-off: more
+    * tables → higher recall, bucket shuffle join instead of n²).
     * Approximate — validated by a recall test against the brute-force
     * baseline, not a SQL oracle. */
   def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-                 nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                 nTables: Int = 8, planesPerTable: Int = 4,
+                 dim: Int = 64): DataFrame = {
     import spark.implicits._
-    // deterministic planes (splitmix64 → uniform [-1,1])
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { i =>
-        val h = graft.ingest.SpanCodec.mix64(p.toLong * 131071L + i)
-        (h.toDouble / Long.MaxValue.toDouble)
-      }
-    }
-    val planesLit = array(planes.map(pl =>
-      array(pl.map(lit): _*)): _*)
-    def bucket(e: Column): Column =
+    def planesLit(table: Int) = array(Array.tabulate(planesPerTable) {
+      p =>
+        array(Array.tabulate(dim) { i =>
+          val h = graft.ingest.SpanCodec.mix64(
+            (table.toLong * 7907L + p) * 131071L + i)
+          lit(h.toDouble / Long.MaxValue.toDouble)
+        }: _*)
+    }: _*)
+    def bucket(table: Int, e: Column): Column =
       aggregate(
-        zip_with(planesLit, sequence(lit(0), lit(nPlanes - 1)), (pl, i) =>
-          when(aggregate(zip_with(pl, e,
-            (p, v) => p * v.cast("double")), lit(0.0), (a, v) => a + v)
-            > 0, pow(lit(2.0), i.cast("double")).cast("int"))
-            .otherwise(lit(0))),
+        zip_with(planesLit(table),
+          sequence(lit(0), lit(planesPerTable - 1)), (pl, i) =>
+            when(aggregate(zip_with(pl, e,
+              (p, v) => p * v.cast("double")), lit(0.0), (a, v) => a + v)
+              > 0, pow(lit(2.0), i.cast("double")).cast("int"))
+              .otherwise(lit(0))),
         lit(0), (acc, v) => acc + v)
-    val e = embeddings(spark, sfDir)
-      .withColumn("bkt", bucket($"embedding")).cache()
-    val q = e.where($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bkt")
+    val e0 = embeddings(spark, sfDir)
+    val e = e0.select($"vec_id" +: $"embedding" +:
+      (0 until nTables).map(t => bucket(t, $"embedding")
+        .as(s"bkt$t")): _*).cache()
+    // (table, bucket) posting lists
+    val tb = e.select($"vec_id", $"embedding",
+      posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
+        .as(Seq("table", "bkt")))
+    val q = tb.join(e0.where($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id")),
+      tb("vec_id") === col("query_id"))
+      .select($"query_id", $"embedding".as("qe"), $"table", $"bkt")
+    val cand = tb.join(q, Seq("table", "bkt"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qe", $"vec_id", $"embedding")
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
-    e.join(q, Seq("bkt")).where($"vec_id" =!= $"query_id")
+    cand
       .withColumn("cos", dotCos($"qe", $"embedding"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)

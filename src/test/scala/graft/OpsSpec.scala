@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.expr.{ExprHelpers, GeoFunctions}
+import graft.query.{Query, Raster}
+
+/** Specs for the extension operators (kNN, PIP, tile-cover expression,
+  * raster ⇄ vector, LSH ANN). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("TileCover expression == core cover (and survives codegen)") {
+    import spark.implicits._
+    // spark.range source (NOT a LocalRelation, which Catalyst folds away
+    // without ever reaching codegen)
+    val H = Mercator.HalfWorld
+    val df = spark.range(0, 200)
+      .select(
+        (pmod($"id" * 7919, lit(1000)).cast("double") / 500.0 - 1.0)
+          .as("fx"),
+        (pmod($"id" * 104729, lit(1000)).cast("double") / 500.0 - 1.0)
+          .as("fy"),
+        pmod($"id", lit(10)).cast("int").as("z"))
+      .select(($"fx" * H * 0.9 - 1e6).as("xmin"),
+        ($"fy" * H * 0.9 - 1e6).as("ymin"),
+        ($"fx" * H * 0.9 + 1e6).as("xmax"),
+        ($"fy" * H * 0.9 + 1e6).as("ymax"), $"z")
+      .select($"*", GeoFunctions.tileCover($"z", $"xmin", $"ymin",
+        $"xmax", $"ymax", lit(8), lit(256)).as("cover"))
+    val got = df.collect()
+    got.foreach { r =>
+      val want = TileGrid.cover(r.getInt(4),
+        BBox(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)), 256, 8).toSeq
+      assert(r.getSeq[Long](5) == want)
+    }
+    // expression must be inside a WholeStageCodegen stage (the `*(n)`
+    // marker in the executed plan), not a fallback Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+  }
+
+  test("PointInPolygon: ray cast truth table incl. holes") {
+    import spark.implicits._
+    // square with a square hole
+    val outer = (Seq(0.0, 10.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 10.0, 0.0))
+    val hole = (Seq(4.0, 6.0, 6.0, 4.0, 4.0), Seq(4.0, 4.0, 6.0, 6.0, 4.0))
+    val rings = array(
+      struct(lit(true).as("outer"),
+        array(outer._1.map(lit): _*).as("xs"),
+        array(outer._2.map(lit): _*).as("ys")),
+      struct(lit(false).as("outer"),
+        array(hole._1.map(lit): _*).as("xs"),
+        array(hole._2.map(lit): _*).as("ys")))
+    val pts = Seq((2.0, 2.0, true), (5.0, 5.0, false), (11.0, 5.0, false),
+      (-1.0, -1.0, false), (3.9, 5.0, true), (9.9, 9.9, true))
+    val df = pts.toDF("x", "y", "want")
+      .withColumn("got", GeoFunctions.pointInPolygon(rings, $"x", $"y"))
+    df.collect().foreach { r =>
+      assert(r.getBoolean(3) == r.getBoolean(2),
+        s"(${r.getDouble(0)},${r.getDouble(1)})")
+    }
+  }
+
+  test("grid kNN join == brute force") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    def pts(n: Int, tag: String) = (0 until n).map { i =>
+      (i.toLong, (rnd.nextDouble() * 2 - 1) * 1.5e7,
+        (rnd.nextDouble() * 2 - 1) * 1.5e7)
+    }
+    val qs = pts(40, "q"); val ds = pts(300, "d")
+    val qdf = qs.toDF("qid", "x", "y")
+    val ddf = ds.toDF("did", "x", "y")
+    val got = Query.knnJoin(spark, qdf, ddf, k = 3, z = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val want = qs.flatMap { case (qid, qx, qy) =>
+      ds.map { case (did, dx, dy) =>
+        (qid, did, (qx - dx) * (qx - dx) + (qy - dy) * (qy - dy))
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex.map {
+        case ((_, did, _), i) => (qid, i + 1, did)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("raster stub: vectorize finds the disc boundary; rasterize fills") {
+    val (w, h, px) = Raster.decodeStub("raster:7") // odd → disc
+    val (dark, segs) = Raster.vectorize(w, h, px, 128)
+    assert(dark > 300 && dark < 600, s"disc area $dark")
+    assert(segs > 30 && segs < 120, s"boundary segs $segs")
+    val (w2, h2, px2) = Raster.decodeStub("raster:8") // even → checker
+    val (dark2, segs2) = Raster.vectorize(w2, h2, px2, 128)
+    assert(dark2 == w2 * h2 / 2)
+    assert(segs2 > segs) // checkerboard has more boundary
+    // rasterize a full-tile square ring → all cells filled
+    val tid = TileId(2, 1, 1)
+    val tcfg = TileCfg(tid, 256, 0)
+    val b = TileGrid.tileBBox(2, 1, 1)
+    val ring = graft.model.Ring(outer = true,
+      Array(b.xmin, b.xmax, b.xmax, b.xmin, b.xmin),
+      Array(b.ymin, b.ymin, b.ymax, b.ymax, b.ymin))
+    assert(Raster.rasterizeCount(Seq(ring), tcfg, 16) == 256L)
+  }
+
+  test("LSH ANN recall vs brute force ≥ 0.6 on sf0.001 embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = graft.pipeline.PipelineOps.annLshTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("point query returns tag rows for features under the point") {
+    import spark.implicits._
+    val docs = spark.createDataset(
+      graft.ingest.CorpusGen.microDocs())
+    val feats = graft.dig.Dig.features(spark,
+      graft.extract.Extract.entities(docs.toDF()), EngineCfg.default)
+    // inside Micro County (45.0-45.01 / -93.30..-93.28)
+    val rows = Query.pointQuery(spark, feats, EngineCfg.default,
+      45.005, -93.285).collect()
+    assert(rows.exists(r => r.getString(1) == "county" &&
+      r.getString(4) == "name" && r.getString(5) == "Micro County"))
+    val pip = Query.pipQuery(spark, feats, EngineCfg.default,
+      45.005, -93.285).collect()
+    assert(pip.exists(_.getString(0) == "county"))
+    // a point in the county's bbox but outside its ring-with-hole? the
+    // hole (45.003-45.006 / -93.295..-93.290) is excluded by ray cast
+    val inHole = Query.pipQuery(spark, feats, EngineCfg.default,
+      45.0045, -93.2925).collect()
+    assert(!inHole.exists(r => r.getString(0) == "county" &&
+      r.getInt(1) == 2))
+  }
+}
