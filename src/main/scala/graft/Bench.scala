@@ -23,8 +23,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4 task waves per core; cap AQE's coalesce target below the 64m
+      // default — tile assembly is CPU-per-byte heavy and the default
+      // coalesces it to a handful of tasks
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

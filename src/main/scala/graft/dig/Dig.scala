@@ -85,9 +85,13 @@ object Dig {
     val layers: Seq[LayerDef] =
       cfg.groups.filter(_.osm).flatMap(_.layers)
 
+    // Eagerly materialized caches: the final union scans each of these
+    // several times within one job; without materialization the branches
+    // race to fill the cache and recompute the lineage repeatedly.
     val m = matched(entities, layers)
       .select("layer", "entity_kind", "id", "tags", "lat", "lon",
         "node_refs", "members").cache()
+    m.count()
 
     // ---- dependency closure (S2/J3): 2 join rounds over all layers ----
     val matchedRel = m.where($"entity_kind" === "relation")
@@ -114,6 +118,7 @@ object Dig {
       .unionByName(depWays)
       .dropDuplicates("layer", "id")
       .cache()
+    mapWays.count()
 
     // ---- way coordinates: one global join, deduped across layers ----
     val wayIds = mapWays.select($"id", $"node_refs")
@@ -135,6 +140,7 @@ object Dig {
           (acc, n) => acc + when(n("x").isNull, 1).otherwise(0))
           .as("n_missing"))
       .cache()
+    wayCoords.count()
 
     // node-dependency closure: every ref'd node joins the map
     val refNodeIds = mapWays

@@ -55,6 +55,18 @@ object Query {
       .orderBy($"layer", $"kind_rank", $"id")
   }
 
+  /** Single-tile lookup over a materialized tile table — the batch analog
+    * of the reference's `GET /{group}/{z}/{x}/{tail}` route
+    * (main.rs:215-303): parse the path, filter the pyramid output; empty
+    * result ≡ the 404 path. */
+  def lookupTile(tiles: DataFrame, path: String): DataFrame =
+    graft.core.ZxyPath.parse(path) match {
+      case Some((group, t, ext)) =>
+        tiles.where(col("group") === group && col("fmt") === ext &&
+          col("z") === t.z && col("x") === t.x && col("y") === t.y)
+      case None => tiles.where(lit(false)) // malformed → 404
+    }
+
   /** Packed cell of a point at zoom z (single cell, pure floor — the
     * degenerate non-margin cover). */
   def pointCell(z: Int, x: Column, y: Column): Column = {

@@ -30,5 +30,13 @@ object DigJob {
       .mode("overwrite")
       .partitionBy("layer")
       .save(out)
+    // per-layer feature counters (reference A6, osm.rs:232/254/287 log
+    // lines), written alongside the table as a metrics file
+    val counts = spark.read.format(graft.sources.TableIO.format).load(out)
+      .groupBy("layer").count().collect()
+      .map(r => s"""{"layer":"${r.getString(0)}","features":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_metrics.json"), counts)
   }
 }
