@@ -33,11 +33,12 @@ object ScalingBench {
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
 
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
