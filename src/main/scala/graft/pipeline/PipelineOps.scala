@@ -39,35 +39,28 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
   }
 
-  /** Per-doc (doc_id, band, sig) minhash signatures, 4 bands. */
-  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** MinHash signatures, one row per doc: 4 band mins in ONE scan of the
+    * distinct-shingle table (map-side partial agg; no pivot, no band
+    * explode). */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, sfDir)
     val sh = d.select($"doc_id",
       explode(shingles2(words($"text"))).as("sh")).distinct()
-    val bands = Seq(0, 1, 2, 3).toDF("band")
-    sh.join(broadcast(bands))
-      .groupBy($"doc_id", $"band")
-      .agg(min(md5(concat($"band".cast("string"), lit(":"), $"sh")))
-        .as("sig"))
-  }
-
-  /** MinHash signatures pivoted to one row per doc. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    minhashSigs(spark, sfDir)
-      .groupBy($"doc_id")
-      .pivot("band", Seq(0, 1, 2, 3))
-      .agg(first($"sig"))
-      .withColumnsRenamed(Map("0" -> "sig0", "1" -> "sig1",
-        "2" -> "sig2", "3" -> "sig3"))
+    sh.groupBy($"doc_id").agg(
+      min(md5(concat(lit("0:"), $"sh"))).as("sig0"),
+      min(md5(concat(lit("1:"), $"sh"))).as("sig1"),
+      min(md5(concat(lit("2:"), $"sh"))).as("sig2"),
+      min(md5(concat(lit("3:"), $"sh"))).as("sig3"))
   }
 
   /** LSH band join: near-dup candidate pairs = any band signature equal.
     * The band-bucket shuffle join IS the scale path (no n² compare). */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSigs(spark, sfDir)
+    val sigs = dedupMinhash(spark, sfDir)
+      .select($"doc_id", posexplode(array($"sig0", $"sig1", $"sig2",
+        $"sig3")).as(Seq("band", "sig")))
     val a = sigs.select($"doc_id".as("doc_a"), $"band", $"sig")
     val b = sigs.select($"doc_id".as("doc_b"), $"band", $"sig")
     a.join(b, Seq("band", "sig"))
