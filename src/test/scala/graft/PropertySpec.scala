@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.ingest.SpanCodec
+import graft.model.{Member, OsmEntity}
+
+/** Property tests (SURVEY.md §5.3). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(100), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val cfg = TileCfg(256, TileId(0, 0, 0),
+    BBox(0.0, 0.0, 100.0, 100.0), Affine())
+
+  private val genPt: Gen[Pt] = for {
+    x <- Gen.chooseNum(-150.0, 250.0)
+    y <- Gen.chooseNum(-150.0, 250.0)
+  } yield Pt(x, y)
+
+  test("clip invariant: every emitted point lies inside the margin bbox") {
+    check(Prop.forAll(Gen.listOfN(12, genPt)) { pts =>
+      val chain = cfg.pointChain()
+      pts.foreach(chain.pushBack)
+      chain.connect()
+      var ok = true
+      var p = chain.popFront()
+      while (p.isDefined) {
+        ok &&= cfg.bbox.contains(p.get)
+        p = chain.popFront()
+      }
+      ok
+    })
+  }
+
+  test("projection round-trip within 1e-9 degrees for |lat| ≤ 85") {
+    check(Prop.forAll(Gen.chooseNum(-180.0, 180.0),
+      Gen.chooseNum(-85.0, 85.0)) { (lon, lat) =>
+      val (lon2, lat2) = Mercator.unproject(Mercator.project(lon, lat))
+      math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
+    })
+  }
+
+  test("cover ≡ inclusive bbox-overlap for random boxes (J4)") {
+    val genBox = for {
+      z <- Gen.chooseNum(0, 7)
+      m <- Gen.oneOf(0, 8, 28, 256)
+      cx <- Gen.chooseNum(-Mercator.HalfWorld, Mercator.HalfWorld)
+      cy <- Gen.chooseNum(-Mercator.HalfWorld, Mercator.HalfWorld)
+      w <- Gen.chooseNum(0.0, Mercator.HalfWorld / (1 << z))
+      h <- Gen.chooseNum(0.0, Mercator.HalfWorld / (1 << z))
+    } yield (z, m, BBox(cx - w, cy - h, cx + w, cy + h))
+    check(Prop.forAll(genBox) { case (z, m, fb) =>
+      val got = TileGrid.cover(z, fb, 256, m).toSet
+      val n = 1 << z
+      val want = (for {
+        x <- 0 until n; y <- 0 until n
+        if TileGrid.tileBBoxWithMargin(z, x, y, 256, m).intersects(fb)
+      } yield TileId.pack(z, x, y)).toSet
+      got == want
+    })
+  }
+
+  private val genEntity: Gen[OsmEntity] = for {
+    kind <- Gen.oneOf("node", "way", "relation")
+    id <- Gen.chooseNum(1L, 1L << 50)
+    nTags <- Gen.chooseNum(0, 5)
+    tags <- Gen.listOfN(nTags, for {
+      k <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      v <- Gen.alphaNumStr.map(_.take(12))
+    } yield (k, v)).map(_.toMap)
+    lat <- Gen.chooseNum(-85.0, 85.0)
+    lon <- Gen.chooseNum(-180.0, 180.0)
+    refs <- Gen.listOfN(if (kind == "way") 5 else 0,
+      Gen.chooseNum(1L, 1L << 40))
+    members <- Gen.listOfN(if (kind == "relation") 4 else 0, for {
+      role <- Gen.oneOf("outer", "inner", "other")
+      rid <- Gen.chooseNum(1L, 1L << 40)
+    } yield Member(role, "way", rid))
+  } yield OsmEntity(kind, id, tags,
+    if (kind == "node") Some(math.rint(lat * 1e7) / 1e7) else None,
+    if (kind == "node") Some(math.rint(lon * 1e7) / 1e7) else None,
+    refs, members)
+
+  test("span codec: decode ∘ encode = id for arbitrary entities") {
+    check(Prop.forAll(genEntity, Gen.chooseNum(0L, Long.MaxValue)) {
+      (e, seed) =>
+        // tag values containing '=' are legal; keys are identifiers
+        val spans = SpanCodec.encode(e, seed)
+        val d = SpanCodec.decode(spans)
+        d.contains(e.copy(tags = e.tags)) || d.exists { got =>
+          got.entity_kind == e.entity_kind && got.id == e.id &&
+            got.tags == e.tags && got.lat == e.lat && got.lon == e.lon &&
+            got.node_refs == e.node_refs && got.members == e.members
+        }
+    })
+  }
+
+  test("simplify removes axis-collinear + coincident points (G1)") {
+    val chain = cfg.pointChain()
+    Seq(Pt(10, 10), Pt(10.2, 10.2), Pt(50, 10), Pt(90, 10), Pt(90, 50))
+      .foreach(chain.pushBack)
+    // (10.2,10.2) rounds onto (10,10) → the FRONT point is removed
+    // (reference tile.rs:206 pts.remove(0) keeps the later one);
+    // (50,10) is y-collinear between its neighbors → removed
+    val out = Iterator.continually(chain.popFront())
+      .takeWhile(_.isDefined).map(_.get).toList
+    assert(out == List(Pt(10.2, 10.2), Pt(90, 10), Pt(90, 50)))
+  }
+}
