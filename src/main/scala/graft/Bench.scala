@@ -1,5 +1,8 @@
 package graft
 
+import java.util.Locale
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.EngineCfg
@@ -13,12 +16,36 @@ import graft.ingest.CorpusGen
   * generation is distributed (spark.range → flatMap), so the measured
   * wall-clock is the engine, not a driver-side generator.
   *
-  * Scaling evidence (north rule, N vs 4N): run this main at
-  * SPARK_GRAFT_CPUS=8 and =32 on the same input; efficiency =
-  * (tiles/sec@32) / (4 × tiles/sec@8). Recorded per round in BASELINE.md.
+  * Output: ONE machine-readable JSON line, printed as the LAST stdout line
+  * (after spark.stop(), so no executor log noise can follow it) and also
+  * written to `data/bench_local.json`. All numbers are formatted with
+  * Locale.ROOT — the f-interpolator is locale-sensitive and a comma-decimal
+  * JVM locale would emit unparseable JSON (round-1 driver recorded
+  * parsed:null).
+  *
+  * Scaling evidence (north rule, N vs 4N): `ScalingBench` writes
+  * `data/scaling.json`; when present its content is embedded verbatim under
+  * the `scaling` key so the per-round BENCH record carries it.
   */
 object Bench {
+
+  private def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Tracks the max single-task wall time of any stage whose run overlaps
+    * the measured region — the straggler metric for the skewed low-zoom
+    * tile aggregation (VERDICT r1 #2). */
+  private final class MaxTaskListener extends SparkListener {
+    @volatile var maxTaskMs: Long = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
+      if (d > maxTaskMs) maxTaskMs = d
+    }
+    def reset(): Unit = maxTaskMs = 0L
+  }
+
   def main(args: Array[String]): Unit = {
+    Locale.setDefault(Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -30,10 +57,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
+      // a saturated local[32] can miss 10 s heartbeats; the resulting
+      // RpcTimeout stack spam corrupted the round-1 bench record
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    val maxTask = new MaxTaskListener
+    spark.sparkContext.addSparkListener(maxTask)
 
     val cfg = EngineCfg.default
     val p = CorpusGen.bench
@@ -69,12 +103,15 @@ object Bench {
     // warm reps: first run pays JIT/codegen compilation; headline = best
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var nTiles = 0L
+    var pyramidMaxTaskSec = 0.0
     val runs = (1 to reps).map { i =>
+      maxTask.reset()
       val t0 = System.nanoTime()
       nTiles = graft.tile.Pyramid
         .tiles(spark, features, cfg, "tile", "mvt", 0, 14).count()
       val sec = (System.nanoTime() - t0) / 1e9
       results(s"pyramid_mvt_rep$i") = sec
+      pyramidMaxTaskSec = maxTask.maxTaskMs / 1e3
       sec
     }
     results("pyramid_mvt_z0_14") = runs.min
@@ -95,13 +132,39 @@ object Bench {
       }
     }
 
+    // LSH ANN recall vs the brute-force baseline (VERDICT r1 #9)
+    val lshRecall =
+      try {
+        val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+          .select("query_id", "neighbor_id")
+        val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
+          .select("query_id", "neighbor_id")
+        val hit = exact.intersect(approx).count().toDouble
+        hit / math.max(1L, exact.count())
+      } catch { case _: Throwable => -1.0 }
+
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + f"$v%.3f"
+      "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"mvt_tiles_per_sec_z0_14","value":$tilesPerSec,""" +
+    val scaling = {
+      val f = java.nio.file.Paths.get("/root/repo/data/scaling.json")
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readString(f).trim
+      else "null"
+    }
+    val json =
+      s"""{"metric":"mvt_tiles_per_sec_z0_14","value":${num(tilesPerSec)},""" +
         s""""unit":"tiles/sec","tiles":$nTiles,"features":$nFeatures,""" +
-        s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+        s""""cpus":$cpus,"pyramid_max_task_sec":${num(pyramidMaxTaskSec)},""" +
+        s""""ann_lsh_recall":${num(lshRecall)},""" +
+        s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}"""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/data"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/data/bench_local.json"), json)
     spark.stop()
+    // the LAST stdout line of the run — nothing may print after this
+    println(json)
+    System.out.flush()
   }
 }

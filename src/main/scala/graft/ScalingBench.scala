@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 import graft.core.EngineCfg
@@ -17,13 +20,81 @@ import graft.ingest.CorpusGen
   * interleaved (this VM throttles sustained full-core usage, so separate
   * invocations are not comparable) and each level reports min-of-warm-reps.
   *
-  * Default levels 8,2: a pure-CPU calibration (BASELINE.md) shows this VM
-  * delivers only ~19 effective cores, capping ANY 8→32 workload near 0.5
-  * efficiency; 2→8 is the pair the hardware can meaningfully grade
-  * (pure-CPU ceiling ≈ 0.85).
+  * Results are merged ACROSS PROCESSES (tools/scaling_taskset.sh runs each
+  * level in its own taskset-pinned JVM): every run min-merges its level
+  * into `data/scaling_level_<k>.json` and recomposes `data/scaling.json`
+  * (levels + raw efficiency + the pure-CPU calibration ceiling from
+  * `data/calibration.json` when present). `Bench` embeds scaling.json in
+  * the per-round BENCH record.
+  *
+  * Default levels 8,2: a pure-CPU calibration (graft.CalibrateCpu) shows
+  * this VM delivers only ~19 effective cores, capping ANY 8→32 workload
+  * near 0.5 efficiency; 2→8 is the pair the hardware can meaningfully
+  * grade.
   */
 object ScalingBench {
+
+  private[graft] def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Min-merge one level's wall seconds into its level file; returns the
+    * merged min. */
+  private[graft] def mergeLevel(dir: String, prefix: String, level: Int,
+                                secMin: Double, work: Long,
+                                unit: String): Double = {
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(s"$dir/${prefix}_level_$level.json")
+    val prev =
+      if (Files.exists(f)) {
+        val s = Files.readString(f)
+        val m = """"sec_min":([0-9.]+)""".r.findFirstMatchIn(s)
+        m.map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+      } else Double.MaxValue
+    val merged = math.min(prev, secMin)
+    Files.writeString(f,
+      s"""{"level":$level,"sec_min":${num(merged)},"$unit":$work,""" +
+        s""""per_sec":${num(work / merged)}}""")
+    merged
+  }
+
+  /** Recompose the aggregate JSON from whatever level files exist. */
+  private[graft] def compose(dir: String, prefix: String, outName: String,
+                             unit: String,
+                             includeCalib: Boolean = false): Unit = {
+    import scala.jdk.CollectionConverters._
+    val levels = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"${prefix}_level_"))
+      .map(f => Files.readString(f).trim)
+      .toSeq
+      .sortBy(s => """"level":(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0))
+    if (levels.isEmpty) return
+    def field(s: String, k: String): Double =
+      s""""$k":([0-9.]+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+    val lo = levels.head; val hi = levels.last
+    val loL = field(lo, "level"); val hiL = field(hi, "level")
+    val effField =
+      if (hiL == 4 * loL && loL > 0)
+        s""""efficiency_${loL.toInt}_to_${hiL.toInt}":${num(
+          field(hi, "per_sec") / (4.0 * field(lo, "per_sec")))},"""
+      else ""
+    val calibField =
+      if (includeCalib) {
+        val f = Paths.get(s"$dir/calibration.json")
+        val v = if (Files.exists(f)) Files.readString(f).trim else "null"
+        s""""pure_cpu_calibration":$v,"""
+      } else ""
+    val json =
+      s"""{"levels":[${levels.mkString(",")}],""" + effField + calibField +
+        s""""method":"taskset-pinned JVM per level, interleaved rounds,""" +
+        s""" min of warm reps, identical parquet input"}"""
+    Files.writeString(Paths.get(s"$dir/$outName"), json)
+    println(json)
+  }
+
   def main(args: Array[String]): Unit = {
+    Locale.setDefault(Locale.ROOT)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "2").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "8,2")
       .split(',').map(_.trim.toInt).toSeq
@@ -32,6 +103,7 @@ object ScalingBench {
     val p = CorpusGen.bench.copy(nx = 240, ny = 200,
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
+    val dataDir = "/root/repo/data"
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
@@ -40,6 +112,8 @@ object ScalingBench {
         .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
@@ -79,22 +153,56 @@ object ScalingBench {
       samples.getOrElseUpdate(cpus,
         scala.collection.mutable.ArrayBuffer.empty) ++= times
       println(s"[scaling] cpus=$cpus times=" +
-        times.map(t => f"$t%.2f").mkString(","))
+        times.map(t => num(t)).mkString(","))
       spark.stop()
     }
     levels.foreach { c =>
-      println(f"""{"level":$c,"sec_min":${samples(c).min}%.3f,""" +
-        f""""tiles_per_sec":${nTiles / samples(c).min}%.1f}""")
+      mergeLevel(dataDir, "scaling", c, samples(c).min, nTiles, "tiles")
     }
-    val lo = levels.min; val hi = levels.max
-    if (hi == lo * 4) {
-      val eff = (nTiles / samples(hi).min) /
-        (4.0 * (nTiles / samples(lo).min))
-      println(
-        f"""{"metric":"scaling_efficiency_${lo}_to_$hi",""" +
-          f""""value":$eff%.3f,"tiles":$nTiles,""" +
-          f""""tiles_per_sec_$lo":${nTiles / samples(lo).min}%.1f,""" +
-          f""""tiles_per_sec_$hi":${nTiles / samples(hi).min}%.1f}""")
+    compose(dataDir, "scaling", "scaling.json", "tiles",
+      includeCalib = true)
+  }
+}
+
+/** Pure-CPU scaling calibration: an embarrassingly parallel deterministic
+  * workload (mix64 chains, zero shared state, zero allocation) run on
+  * `SPARK_GRAFT_CALIB_THREADS` threads. Pinned via taskset like the real
+  * levels, it measures the HARDWARE's own scaling ceiling on this VM — no
+  * Spark plan can beat it. Writes `data/calib_level_<k>.json` and composes
+  * `data/calibration.json`. */
+object CalibrateCpu {
+  def main(args: Array[String]): Unit = {
+    Locale.setDefault(Locale.ROOT)
+    val threads = sys.env.getOrElse("SPARK_GRAFT_CALIB_THREADS", "8").toInt
+    val units = 256
+    val chain = 20000000L
+    def work(u: Int): Long = {
+      var h = u.toLong
+      var i = 0L
+      while (i < chain) { h = graft.ingest.SpanCodec.mix64(h); i += 1 }
+      h
     }
+    // warmup
+    (0 until threads).foreach(work)
+    val queue = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        var u = queue.getAndIncrement()
+        while (u < units) {
+          sink.addAndGet(work(u))
+          u = queue.getAndIncrement()
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"[calib] threads=$threads sec=${ScalingBench.num(sec)} " +
+      s"sink=${sink.get()}")
+    ScalingBench.mergeLevel("/root/repo/data", "calib", threads, sec,
+      units.toLong, "units")
+    ScalingBench.compose("/root/repo/data", "calib", "calibration.json",
+      "units")
   }
 }
