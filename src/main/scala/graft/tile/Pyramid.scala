@@ -1,5 +1,7 @@
 package graft.tile
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,7 +39,7 @@ final case class FeatPayload(
   * dictionary interning + byte concatenation (O(bytes)); AQE handles
   * partition sizing.
   */
-object Pyramid {
+object Pyramid extends Serializable {
 
   /** MVT margin by zoom as a Column (mvtenc.rs:213-222). */
   def mvtMarginCol(z: Column): Column =
@@ -109,32 +111,34 @@ object Pyramid {
     }
   }
 
-  /** Assemble one tile from its pre-encoded features (A3 + A4/A5). */
-  def assembleTile(cfgE: EngineCfg, group: LayerGroup, fmt: String,
-                   groupName: String)(tileId: Long,
-                   rows: Iterator[FeatPayload]): Iterator[TileRow] = {
+  /** Assemble one tile from its pre-encoded features, STREAMING over an
+    * iterator already sorted by (layer_rank, kind_rank, id) — no
+    * materialization of the feature set (A3 + A4/A5). Memory is bounded by
+    * the output tile bytes (one layer buffer + the assembled blob), not by
+    * the feature count. */
+  def assembleSorted(cfgE: EngineCfg, group: LayerGroup, fmt: String,
+                     groupName: String, tileId: Long,
+                     sorted: Iterator[FeatPayload]): Iterator[TileRow] = {
     val tid = TileId.unpack(tileId)
-    val sorted = rows.toArray.sortBy(p => (p.layer_rank, p.kind_rank, p.id))
     if (fmt == "mvt") {
       val layerBytes = scala.collection.mutable.ArrayBuffer
         .empty[Array[Byte]]
-      var i = 0
-      while (i < sorted.length) {
-        val rank = sorted(i).layer_rank
-        val layer = group.layers(rank)
-        val ml = new MvtLayer(layer.name, cfgE.tileExtent)
-        while (i < sorted.length && sorted(i).layer_rank == rank) {
-          val p = sorted(i)
-          val tags = p.tag_keys.indices.map { j =>
-            (p.tag_keys(j),
-              if (p.tag_sint(j)) Right(p.tag_vals(j).toLong)
-              else Left(p.tag_vals(j)))
-          }
-          ml.addFeature(MvtFeature(layer.geomTp, p.geom, tags))
-          i += 1
+      var ml: MvtLayer = null
+      var curRank = -1
+      sorted.foreach { p =>
+        if (p.layer_rank != curRank) {
+          if (ml != null && ml.numFeatures > 0) layerBytes += ml.encode()
+          curRank = p.layer_rank
+          ml = new MvtLayer(group.layers(curRank).name, cfgE.tileExtent)
         }
-        if (ml.numFeatures > 0) layerBytes += ml.encode()
+        val tags = p.tag_keys.indices.map { j =>
+          (p.tag_keys(j),
+            if (p.tag_sint(j)) Right(p.tag_vals(j).toLong)
+            else Left(p.tag_vals(j)))
+        }
+        ml.addFeature(MvtFeature(group.layers(curRank).geomTp, p.geom, tags))
       }
+      if (ml != null && ml.numFeatures > 0) layerBytes += ml.encode()
       if (layerBytes.nonEmpty)
         Iterator(TileRow(groupName, tid.z, tid.x, tid.y, fmt,
           MvtTile.assemble(layerBytes.toSeq)))
@@ -142,25 +146,91 @@ object Pyramid {
     } else {
       // every zoom-active layer gets a <g>, present or not
       // (wyrmenc.rs:62-87); tile emitted iff any feature found
-      if (!sorted.exists(_.found)) Iterator.empty
-      else {
-        val byRank = sorted.groupBy(_.layer_rank)
-        val sb = new StringBuilder
-        group.layers.zipWithIndex.foreach { case (l, rank) =>
-          if (l.checkZoom(tid.z)) {
-            sb.append("<g class=\"").append(l.className(None))
-              .append("\">")
-            byRank.get(rank).foreach(_.foreach(p => sb.append(p.content)))
-            sb.append("</g>")
-          }
+      var anyFound = false
+      val sb = new StringBuilder
+      var nextLayer = 0 // first layer whose <g> has not been emitted yet
+      var open = false
+      def emitEmptyUpTo(rank: Int): Unit = while (nextLayer < rank) {
+        val l = group.layers(nextLayer)
+        if (l.checkZoom(tid.z))
+          sb.append("<g class=\"").append(l.className(None))
+            .append("\"></g>")
+        nextLayer += 1
+      }
+      sorted.foreach { p =>
+        if (p.layer_rank >= nextLayer) {
+          if (open) { sb.append("</g>"); open = false }
+          emitEmptyUpTo(p.layer_rank)
+          // payloads only exist for zoom-active layers (coverJoin gates)
+          sb.append("<g class=\"")
+            .append(group.layers(p.layer_rank).className(None))
+            .append("\">")
+          open = true
+          nextLayer = p.layer_rank + 1
         }
-        Iterator(TileRow(groupName, tid.z, tid.x, tid.y, fmt,
-          sb.toString.getBytes("UTF-8")))
+        sb.append(p.content)
+        if (p.found) anyFound = true
+      }
+      if (open) sb.append("</g>")
+      emitEmptyUpTo(group.layers.length)
+      if (!anyFound) Iterator.empty
+      else Iterator(TileRow(groupName, tid.z, tid.x, tid.y, fmt,
+        sb.toString.getBytes("UTF-8")))
+    }
+  }
+
+  private def payloadKey(p: FeatPayload): (Int, Int, Long) =
+    (p.layer_rank, p.kind_rank, p.id)
+
+  /** Deterministic salt from the (unique per tile) feature key. */
+  def saltOf(p: FeatPayload, nSalts: Int): Int =
+    math.floorMod(graft.ingest.SpanCodec.mix64(
+      p.id + p.layer_rank * 1000003L + p.kind_rank * 31L).toInt, nSalts)
+
+  /** k-way merge of per-salt runs each sorted by (layer_rank, kind_rank,
+    * id) — keys are unique per tile (layer dedup upstream), so the merge
+    * is deterministic and reproduces exactly the order a single global
+    * sort would give. */
+  def mergeRuns(runs: Seq[Array[FeatPayload]]): Iterator[FeatPayload] = {
+    val live = runs.filter(_.nonEmpty)
+    if (live.isEmpty) return Iterator.empty
+    if (live.size == 1) return live.head.iterator
+    implicit val ord: Ordering[(Int, Int)] = Ordering.by {
+      case (run, idx) => payloadKey(live(run)(idx))
+    }
+    val pq = mutable.PriorityQueue.empty[(Int, Int)](ord.reverse)
+    live.indices.foreach(r => pq.enqueue((r, 0)))
+    new Iterator[FeatPayload] {
+      def hasNext: Boolean = pq.nonEmpty
+      def next(): FeatPayload = {
+        val (r, i) = pq.dequeue()
+        if (i + 1 < live(r).length) pq.enqueue((r, i + 1))
+        live(r)(i)
       }
     }
   }
 
-  /** Full pyramid for one group + format: one shuffle total. */
+  /** Zooms ≤ this go through the salted two-stage aggregation: a z0 tile
+    * covers the entire corpus, so a single `groupByKey(tile_id)` task
+    * would receive (and sort) every feature payload — the one shape that
+    * does not survive a 100× scale-up (VERDICT r1 #2). */
+  val SaltMaxZ = 8
+
+  /** Salt fan-out for hot low-zoom tiles. */
+  val NumSalts = 16
+
+  /** Full pyramid for one group + format.
+    *
+    * High zooms (z > SaltMaxZ): one shuffle — groupByKey(tile_id), sort
+    * the (small) per-tile set, stream-assemble.
+    *
+    * Low zooms (z ≤ SaltMaxZ): salted two-stage — (tile_id, salt) partial
+    * sort in parallel (the O(n log n) work distributes across NumSalts
+    * tasks per hot tile), then a per-tile k-way merge of ≤ NumSalts
+    * pre-sorted runs feeding the same streaming assembler. Byte-identical
+    * output: the merge reproduces the global (layer_rank, kind_rank, id)
+    * order.
+    */
   def tiles(spark: SparkSession, features: Dataset[Feature], cfgE: EngineCfg,
             groupName: String, fmt: String, zMin: Int, zMax: Int)
       : Dataset[TileRow] = {
@@ -170,7 +240,28 @@ object Pyramid {
     val cov = coverJoin(spark, features, group, cfgE.tileExtent, fmt,
       zMin, zMax)
     val enc = cov.flatMap(encodeFeature(cfgE, group, fmt, layerRank) _)
-    enc.groupByKey(_.tile_id)
-      .flatMapGroups(assembleTile(cfgE, group, fmt, groupName) _)
+
+    def assemble(tid: Long, it: Iterator[FeatPayload]) =
+      assembleSorted(cfgE, group, fmt, groupName, tid, it)
+
+    val high = enc.filter(p => (p.tile_id >>> 58) > SaltMaxZ)
+      .groupByKey(_.tile_id)
+      .flatMapGroups { (tid: Long, rows: Iterator[FeatPayload]) =>
+        assemble(tid, rows.toArray.sortBy(payloadKey).iterator)
+      }
+    val low = enc.filter(p => (p.tile_id >>> 58) <= SaltMaxZ)
+      .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
+      .mapGroups { (key: (Long, Int), rows: Iterator[FeatPayload]) =>
+        TilePartial(key._1, key._2, rows.toArray.sortBy(payloadKey))
+      }
+      .groupByKey(_.tile_id)
+      .flatMapGroups { (tid: Long, parts: Iterator[TilePartial]) =>
+        assemble(tid, mergeRuns(parts.map(_.feats).toSeq))
+      }
+    high.unionByName(low)
   }
 }
+
+/** One pre-sorted per-(tile, salt) run of feature payloads. */
+final case class TilePartial(tile_id: Long, salt: Int,
+                             feats: Array[FeatPayload])
