@@ -467,10 +467,14 @@ object SparkEntry {
              SELECT doc_id, unnest(list_transform(
                generate_series(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
-           sig AS (SELECT doc_id, band,
+           sig0 AS (SELECT doc_id, band,
              min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
              FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
-             GROUP BY doc_id, band)
+             GROUP BY doc_id, band),
+           -- hot-bucket cap, mirrored from PipelineOps.MaxBucket
+           keep AS (SELECT band, sig FROM sig0
+             GROUP BY 1, 2 HAVING count(*) <= 256),
+           sig AS (SELECT s.* FROM sig0 s JOIN keep USING (band, sig))
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_bands
            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
@@ -493,10 +497,14 @@ object SparkEntry {
       "dedup_ngram_jaccard" ->
         """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),
-           sh AS (SELECT DISTINCT doc_id, sh FROM (
+           sh0 AS (SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id, unnest(list_transform(
                generate_series(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
+           -- stop-shingle cap, mirrored from PipelineOps.MaxBucket
+           keep AS (SELECT sh FROM sh0 GROUP BY 1
+             HAVING count(*) <= 256),
+           sh AS (SELECT s.* FROM sh0 s JOIN keep USING (sh)),
            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS inter

@@ -54,15 +54,31 @@ object PipelineOps {
       min(md5(concat(lit("3:"), $"sh"))).as("sig3"))
   }
 
+  /** Hot-bucket cap for pair generation (VERDICT r1 #8): an LSH band
+    * bucket or a shingle shared by more than this many documents would go
+    * quadratic inside one join key (a degenerate band over near-identical
+    * docs, a stop-shingle). Buckets above the cap are DROPPED — at that
+    * density the docs are exact/near-exact duplicates that `dedupExact`
+    * already groups, and every remaining band still gets its chance. The
+    * cap is mirrored verbatim in the DuckDB oracles, so parity is exact
+    * at every scale, not just where the cap never binds. */
+  val MaxBucket = 256
+
   /** LSH band join: near-dup candidate pairs = any band signature equal.
-    * The band-bucket shuffle join IS the scale path (no n² compare). */
+    * The band-bucket shuffle join IS the scale path (no n² compare);
+    * buckets larger than [[MaxBucket]] are dropped (documented cap). */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sigs = dedupMinhash(spark, sfDir)
       .select($"doc_id", posexplode(array($"sig0", $"sig1", $"sig2",
         $"sig3")).as(Seq("band", "sig")))
-    val a = sigs.select($"doc_id".as("doc_a"), $"band", $"sig")
-    val b = sigs.select($"doc_id".as("doc_b"), $"band", $"sig")
+    val keep = sigs.groupBy($"band", $"sig")
+      .agg(count(lit(1)).as("bc"))
+      .where($"bc" <= MaxBucket)
+      .select($"band", $"sig")
+    val f = sigs.join(keep, Seq("band", "sig"))
+    val a = f.select($"doc_id".as("doc_a"), $"band", $"sig")
+    val b = f.select($"doc_id".as("doc_b"), $"band", $"sig")
     a.join(b, Seq("band", "sig"))
       .where($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
@@ -92,12 +108,19 @@ object PipelineOps {
   }
 
   /** n-gram Jaccard near-dup pairs (2-shingles, τ = 0.5) via shingle join —
-    * set sizes from per-doc distinct counts, no cross join. */
+    * set sizes from per-doc distinct counts, no cross join. Shingles with
+    * document frequency > [[MaxBucket]] (stop-shingles — the hot join keys
+    * at corpus scale) are dropped from BOTH the sizes and the intersection
+    * (i.e. Jaccard over the non-stop shingle sets), mirrored in the SQL
+    * oracle. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, sfDir)
-    val sh = d.select($"doc_id",
-      explode(shingles2(words($"text"))).as("sh")).distinct().cache()
+    val sh0 = d.select($"doc_id",
+      explode(shingles2(words($"text"))).as("sh")).distinct()
+    val keepSh = sh0.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .where($"df" <= MaxBucket).select($"sh")
+    val sh = sh0.join(keepSh, Seq("sh")).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .where($"a.doc_id" < $"b.doc_id")
@@ -150,7 +173,7 @@ object PipelineOps {
     * Approximate — validated by a recall test against the brute-force
     * baseline, not a SQL oracle. */
   def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-                 nTables: Int = 8, planesPerTable: Int = 4,
+                 nTables: Int = 16, planesPerTable: Int = 4,
                  dim: Int = 64): DataFrame = {
     import spark.implicits._
     def planesLit(table: Int) = array(Array.tabulate(planesPerTable) {
