@@ -93,7 +93,12 @@ object Dig {
         "node_refs", "members").cache()
     m.count()
 
-    // ---- dependency closure (S2/J3): 2 join rounds over all layers ----
+    // ---- dependency closure (S2/J3): the reference's get_objs_and_deps
+    // (osmpbfreader) pulls in ALL member kinds TRANSITIVELY: relation →
+    // member relations (recursive) → member ways → their nodes, plus
+    // relation node members. Replicated as a per-nesting-depth join loop
+    // (OSM relation nesting is shallow; the loop exits after one extra
+    // cheap round on corpora without nested relations). ----
     val matchedRel = m.where($"entity_kind" === "relation")
     val matchedWay = m.where($"entity_kind" === "way")
     val matchedNode = m.where($"entity_kind" === "node")
@@ -104,14 +109,49 @@ object Dig {
       .select($"id", $"tags",
         graft.expr.GeoFunctions.mercX($"lon").as("x"),
         graft.expr.GeoFunctions.mercY($"lat").as("y"))
+    val allRels = entities.where($"entity_kind" === "relation")
+      .select($"id", $"members")
 
-    val memberWayIds = matchedRel
+    // transitive relation-member closure (per layer)
+    var mapRels = matchedRel.select($"layer", $"id", $"members")
+      .localCheckpoint(true)
+    var frontier = mapRels
+    var closed = false
+    while (!closed) {
+      val memberRelIds = frontier
+        .select($"layer", explode($"members").as("mm"))
+        .where($"mm.ref_kind" === "relation")
+        .select($"layer", $"mm.ref_id".as("id"))
+        .distinct()
+      val newRels = memberRelIds.join(allRels, "id")
+        .join(mapRels.select($"layer", $"id"), Seq("layer", "id"),
+          "left_anti")
+        .select($"layer", $"id", $"members")
+        .localCheckpoint(true)
+      if (newRels.isEmpty) closed = true
+      else {
+        mapRels = mapRels.unionByName(newRels).localCheckpoint(true)
+        frontier = newRels
+      }
+    }
+
+    val memberWayIds = mapRels
       .select($"layer", explode($"members").as("mm"))
       .where($"mm.ref_kind" === "way")
       .select($"layer", $"mm.ref_id".as("id"))
       .distinct()
     val depWays = memberWayIds.join(allWays, "id")
       .select($"layer", $"id", $"tags", $"node_refs")
+
+    // node members of map relations join the map too (they feed point
+    // layers via "EVERY node in the map", osm.rs:226-231)
+    val memberNodeIds = mapRels
+      .select($"layer", explode($"members").as("mm"))
+      .where($"mm.ref_kind" === "node")
+      .select($"layer", $"mm.ref_id".as("id"))
+      .distinct()
+    val depMemberNodes = memberNodeIds.join(allNodes, Seq("id"))
+      .select($"layer", $"id", $"tags", $"x", $"y")
 
     // ObjMap ways per layer (a way may be both matched and a dependency)
     val mapWays = matchedWay.select($"layer", $"id", $"tags", $"node_refs")
@@ -153,6 +193,7 @@ object Dig {
         graft.expr.GeoFunctions.mercX($"lon").as("x"),
         graft.expr.GeoFunctions.mercY($"lat").as("y"))
       .unionByName(depNodes)
+      .unionByName(depMemberNodes)
       .dropDuplicates("layer", "id")
 
     val layerMeta = layers.map(l =>
