@@ -171,42 +171,23 @@ final case class LayerGroup(name: String, osm: Boolean,
 final case class EngineCfg(tileExtent: Int, groups: Vector[LayerGroup])
 
 object EngineCfg {
-  /** The default layer set — semantics-verbatim from the reference default
-    * config (/root/reference/wyrmcast/res/wyrmcast.muon:56-139). */
-  def default: EngineCfg = {
+  /** The default config: the reference's full 21-layer `tile` group,
+    * PARSED from a verbatim copy of its default config file
+    * (/root/reference/wyrmcast/res/wyrmcast.muon, bundled as a resource —
+    * data, not code), plus a second `tile_test` group carrying two
+    * synthetic layers the reference config lacks: a point layer
+    * exercising the name/rotate path (reference point.rs:41-49) and
+    * `segment_10`, which pins the numeric-part class-name mangling. */
+  lazy val default: EngineCfg = {
+    val in = getClass.getResourceAsStream("/wyrmcast.muon")
+    require(in != null, "wyrmcast.muon resource missing")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = Muon.parseConfig(text)
     def L(n: String, g: String, z: String, t: String) =
       LayerDef(n, g, z, t.split(' ').toSeq)
-    val layers = Vector(
-      L("county", "polygon", "4-14",
-        "$osm_id ?name type=boundary boundary=administrative admin_level=6"),
-      L("city", "polygon", "10+",
-        "$osm_id ?name type=boundary boundary=administrative admin_level=8"),
-      L("leisure", "polygon", "13+", "$osm_id ?name leisure"),
-      L("cemetery", "polygon", "13+", "$osm_id ?name landuse=cemetery"),
-      L("lake", "polygon", "5+",
-        "$osm_id ?name natural=water water=harbour|lagoon|lake|oxbow"),
-      L("river", "polygon", "6+",
-        "$osm_id ?name natural=water water=canal|rapids|river"),
-      L("pond", "polygon", "12+",
-        "$osm_id ?name natural=water water=basin|pond|reservoir"),
-      L("water", "polygon", "14+",
-        "$osm_id ?name natural=water water!=basin|canal|harbour|lagoon|lake|oxbow|pond|rapids|reservoir|river"),
-      L("wetland", "polygon", "12+", "$osm_id ?name natural=wetland"),
-      L("building", "polygon", "15+", "$osm_id ?name building"),
-      L("motorway", "linestring", "8+",
-        "$osm_id ?name ?ref highway=motorway|motorway_link"),
-      L("trunk", "linestring", "9+",
-        "$osm_id ?name ?ref highway=trunk|trunk_link"),
-      L("primary", "linestring", "10+",
-        "$osm_id ?name ?ref highway=primary|primary_link"),
-      L("road", "linestring", "14+",
-        "$osm_id ?name ?ref highway=unclassified|residential|living_street|service|road"),
-      L("railway", "linestring", "15+", "$osm_id ?name railway"),
-      // point layer exercising the name/rotate path (reference
-      // point.rs:41-49); segment_10 pins class-name mangling
+    val testGroup = LayerGroup("tile_test", osm = true, Vector(
       L("city_poi", "point", "10+", "?name $rotate place=city|town"),
-      L("segment_10", "linestring", "8+", "?name highway=motorway")
-    )
-    EngineCfg(256, Vector(LayerGroup("tile", osm = true, layers)))
+      L("segment_10", "linestring", "8+", "?name highway=motorway")))
+    EngineCfg(parsed.tileExtent, parsed.groups :+ testGroup)
   }
 }

@@ -116,11 +116,17 @@ object CorpusGen {
     b.way(ring, Map("natural" -> "water", "water" -> waterKind,
       "name" -> s"Water $cell"))
 
-    // motorway/trunk/primary polyline crossing the cell east-west
-    val roadTags = (math.abs(mix64(h + 11)) % 3).toInt match {
+    // highway polyline crossing the cell east-west — all 8 reference road
+    // layers (motorway..path) appear across cells
+    val roadTags = (math.abs(mix64(h + 11)) % 8).toInt match {
       case 0 => Map("highway" -> "motorway", "ref" -> s"I-${cell % 694}")
       case 1 => Map("highway" -> "trunk", "ref" -> s"US-${cell % 400}")
       case 2 => Map("highway" -> "primary", "ref" -> s"MN-${cell % 300}")
+      case 3 => Map("highway" -> "secondary", "ref" -> s"CR-${cell % 200}")
+      case 4 => Map("highway" -> "tertiary", "ref" -> s"T-${cell % 150}")
+      case 5 => Map("highway" -> "residential")
+      case 6 => Map("highway" -> "footway")
+      case 7 => Map("highway" -> "service")
     }
     val roadNodes = (0 to 4).map { k =>
       val t = k / 4.0
@@ -128,6 +134,27 @@ object CorpusGen {
         clon - w * 0.6 + t * w * 1.2)
     }
     b.way(roadNodes, roadTags + ("name" -> s"Road $cell"))
+
+    // landuse / amenity / leisure polygon (agriculture, commercial,
+    // parking, cemetery, leisure layers; "grass" matches nothing)
+    val landTags = (math.abs(mix64(h + 37)) % 6).toInt match {
+      case 0 => Map("landuse" -> "farmland")
+      case 1 => Map("landuse" -> "retail")
+      case 2 => Map("amenity" -> "parking")
+      case 3 => Map("landuse" -> "cemetery")
+      case 4 => Map("leisure" -> "park")
+      case 5 => Map("landuse" -> "grass")
+    }
+    val lring = b.rectRing(clat + ht * 0.18, clon - w * 0.4,
+      clat + ht * 0.28, clon - w * 0.25)
+    b.way(lring, landTags + ("name" -> s"Land $cell"))
+
+    // railway line on a quarter of the cells
+    if ((math.abs(mix64(h + 41)) % 4) == 0) {
+      val r1 = b.node(clat - 0.4 * ht, clon - w * 0.5)
+      val r2 = b.node(clat - 0.35 * ht, clon + w * 0.5)
+      b.way(Seq(r1, r2), Map("railway" -> "rail"))
+    }
 
     // point of interest (place=city|town, name, rotate)
     val place = if ((math.abs(mix64(h + 13)) % 2) == 0) "city" else "town"

@@ -39,6 +39,28 @@ class ConfigSpec extends AnyFunSuite {
       p.values == Vector("motorway", "motorway_link")))
   }
 
+  test("default config parity: all 21 reference layers, parsed not transcribed") {
+    val refPath = java.nio.file.Paths.get(
+      "/root/reference/wyrmcast/res/wyrmcast.muon")
+    assume(java.nio.file.Files.exists(refPath))
+    val ref = Muon.parseConfig(java.nio.file.Files.readString(refPath))
+    val tile = EngineCfg.default.groups.find(_.name == "tile").get
+    val refTile = ref.groups.find(_.name == "tile").get
+    assert(EngineCfg.default.tileExtent == ref.tileExtent)
+    assert(tile.layers.length == 21)
+    assert(tile.layers.map(_.name) == refTile.layers.map(_.name))
+    tile.layers.zip(refTile.layers).foreach { case (a, b) =>
+      assert(a.geomTp == b.geomTp, a.name)
+      assert(a.zoom == b.zoom, a.name)
+      assert(a.patterns.map(_.toString) == b.patterns.map(_.toString),
+        a.name)
+    }
+    // the synthetic layers live in their own test group, not in `tile`
+    val tt = EngineCfg.default.groups.find(_.name == "tile_test").get
+    assert(tt.osm && tt.layers.map(_.name) ==
+      Vector("city_poi", "segment_10"))
+  }
+
   test("duplicate tag pattern rejected (P3, layer.rs:264-276)") {
     assertThrows[IllegalArgumentException] {
       LayerDef("x", "point", "5", Seq("?name", "name=a"))
