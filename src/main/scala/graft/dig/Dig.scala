@@ -85,13 +85,14 @@ object Dig {
     val layers: Seq[LayerDef] =
       cfg.groups.filter(_.osm).flatMap(_.layers)
 
-    // Eagerly materialized caches: the final union scans each of these
-    // several times within one job; without materialization the branches
-    // race to fill the cache and recompute the lineage repeatedly.
+    // LAZY caches: the final union scans each of these several times
+    // within one job; the cache dedupes recomputation per partition.
+    // No eager count() barriers — three blocking full passes cost more
+    // than the bounded duplicate work of concurrent first-fills
+    // (measured: dig wall time unchanged without them, VERDICT r1 #6).
     val m = matched(entities, layers)
       .select("layer", "entity_kind", "id", "tags", "lat", "lon",
         "node_refs", "members").cache()
-    m.count()
 
     // ---- dependency closure (S2/J3): the reference's get_objs_and_deps
     // (osmpbfreader) pulls in ALL member kinds TRANSITIVELY: relation →
@@ -158,7 +159,6 @@ object Dig {
       .unionByName(depWays)
       .dropDuplicates("layer", "id")
       .cache()
-    mapWays.count()
 
     // ---- way coordinates: one global join, deduped across layers ----
     val wayIds = mapWays.select($"id", $"node_refs")
@@ -180,7 +180,6 @@ object Dig {
           (acc, n) => acc + when(n("x").isNull, 1).otherwise(0))
           .as("n_missing"))
       .cache()
-    wayCoords.count()
 
     // node-dependency closure: every ref'd node joins the map
     val refNodeIds = mapWays
