@@ -62,9 +62,23 @@ object PyramidJob {
         graft.sources.TableIO.write(metered.toDF(),
           s"$out/fmt=$fmt/z=$z")
         val wall = (System.nanoTime() - t0) / 1e9
+        // committed totals come from the WRITTEN output: accumulator
+        // updates from a transformation are not deduplicated on task
+        // retry / speculative execution, so they can over-count — the
+        // per-partition list stays as best-effort diagnostics only
+        val written = spark.read.format(graft.sources.TableIO.format)
+          .load(s"$out/fmt=$fmt/z=$z")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.length(
+                  org.apache.spark.sql.functions.col("bytes"))),
+              org.apache.spark.sql.functions.lit(0L)))
+          .head()
+        val nt = written.getLong(0)
+        val nb = written.getLong(1)
         val parts = acc.value
-        var nt = 0L; var nb = 0L
-        parts.forEach { p => nt += p._2; nb += p._3 }
         val partsJson = {
           val sb = new StringBuilder("[")
           var first = true
@@ -77,7 +91,8 @@ object PyramidJob {
         }
         val json =
           s"""{"group":"$groupName","fmt":"$fmt","z":$z,"tiles":$nt,""" +
-            s""""bytes":$nb,"wall_sec":$wall,"partitions":$partsJson}"""
+            s""""bytes":$nb,"wall_sec":$wall,""" +
+            s""""partitions_best_effort":$partsJson}"""
         val tmp = Paths.get(mp.toString + ".tmp")
         Files.writeString(tmp, json)
         Files.move(tmp, mp, StandardCopyOption.ATOMIC_MOVE)

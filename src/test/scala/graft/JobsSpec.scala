@@ -33,7 +33,7 @@ class JobsSpec extends AnyFunSuite {
       val m = Paths.get(s"$out/_manifest/mvt_z$z.json")
       assert(Files.exists(m))
       val txt = Files.readString(m)
-      assert(txt.contains("\"partitions\":["), txt)
+      assert(txt.contains("\"partitions_best_effort\":["), txt)
     }
     // restart: everything committed → all skipped, outputs untouched
     val before = spark.read.parquet(s"$out/fmt=mvt").count()
