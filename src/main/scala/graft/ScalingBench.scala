@@ -107,17 +107,36 @@ object ScalingBench {
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
+      // AQE advisory scaled INVERSELY with cores so every level coalesces
+      // to the same number of task WAVES — a fixed byte target hands the
+      // small level perfectly-packed tasks while the large level idles
+      val advisoryMb = sys.env.get("SPARK_GRAFT_SCALING_ADVISORY_MB")
+        .map(_.toInt).getOrElse(math.max(2, 64 / cpus))
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
         .config("spark.sql.adaptive.enabled", aqe)
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          s"${advisoryMb}m")
         .config("spark.network.timeout", "600s")
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       s
+    }
+
+    /** Sum of task wall time per rep — utilization = taskSec/(wall·cpus)
+      * separates "plan doesn't parallelize" from "tasks got slower". */
+    final class TaskSumListener
+        extends org.apache.spark.scheduler.SparkListener {
+      val sum = new java.util.concurrent.atomic.AtomicLong(0)
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskInfo != null) { sum.addAndGet(t.taskInfo.duration); () }
+        n.incrementAndGet(); ()
+      }
     }
 
     // phase 0: materialize features once (full parallelism, unmeasured)
@@ -138,17 +157,28 @@ object ScalingBench {
     for (_ <- 1 to rounds; cpus <- levels) {
       val spark = session(cpus)
       import spark.implicits._
+      // the written table is ~260 small files that the scan bin-packs
+      // into a handful of uneven partitions; repartition (unmeasured,
+      // during cache fill) so the encode stage gets cpus*4 even tasks
       val features = spark.read.parquet(featPath)
+        .repartition(cpus * 4)
         .as[graft.model.Feature].cache()
       features.count()
       // warmup (JIT/codegen) then timed reps
       graft.tile.Pyramid.tiles(spark, features, cfg, "tile", "mvt", 12,
         12).count()
       val times = (1 to 2).map { _ =>
+        val l = new TaskSumListener
+        spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
         nTiles = graft.tile.Pyramid
           .tiles(spark, features, cfg, "tile", "mvt", 0, zMax).count()
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(l)
+        println(s"[scaling] cpus=$cpus wall=${num(w)} " +
+          s"taskSec=${num(l.sum.get() / 1e3)} tasks=${l.n.get()} " +
+          s"util=${num(l.sum.get() / 1e3 / (w * cpus))}")
+        w
       }
       samples.getOrElseUpdate(cpus,
         scala.collection.mutable.ArrayBuffer.empty) ++= times
@@ -156,11 +186,12 @@ object ScalingBench {
         times.map(t => num(t)).mkString(","))
       spark.stop()
     }
-    levels.foreach { c =>
+    levels.filter(samples.contains).foreach { c =>
       mergeLevel(dataDir, "scaling", c, samples(c).min, nTiles, "tiles")
     }
-    compose(dataDir, "scaling", "scaling.json", "tiles",
-      includeCalib = true)
+    if (samples.nonEmpty)
+      compose(dataDir, "scaling", "scaling.json", "tiles",
+        includeCalib = true)
   }
 }
 
@@ -174,14 +205,31 @@ object CalibrateCpu {
   def main(args: Array[String]): Unit = {
     Locale.setDefault(Locale.ROOT)
     val threads = sys.env.getOrElse("SPARK_GRAFT_CALIB_THREADS", "8").toInt
+    // mode "alu": register-only mix64 chains (pure compute ceiling);
+    // mode "stream": per-thread 64 MB array sweeps (memory-bandwidth
+    // ceiling — the binding resource for shuffle-heavy Spark stages)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_CALIB_MODE", "alu")
     val units = 256
     val chain = 20000000L
-    def work(u: Int): Long = {
-      var h = u.toLong
-      var i = 0L
-      while (i < chain) { h = graft.ingest.SpanCodec.mix64(h); i += 1 }
-      h
-    }
+    val streams = ThreadLocal.withInitial[Array[Long]](() =>
+      new Array[Long](8 * 1024 * 1024)) // 64 MB per thread
+    def work(u: Int): Long =
+      if (mode == "stream") {
+        val a = streams.get()
+        var s = u.toLong
+        var pass = 0
+        while (pass < 4) {
+          var i = 0
+          while (i < a.length) { s += a(i); a(i) = s; i += 1 }
+          pass += 1
+        }
+        s
+      } else {
+        var h = u.toLong
+        var i = 0L
+        while (i < chain) { h = graft.ingest.SpanCodec.mix64(h); i += 1 }
+        h
+      }
     // warmup
     (0 until threads).foreach(work)
     val queue = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -198,11 +246,13 @@ object CalibrateCpu {
     }
     ts.foreach(_.start()); ts.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"[calib] threads=$threads sec=${ScalingBench.num(sec)} " +
-      s"sink=${sink.get()}")
-    ScalingBench.mergeLevel("/root/repo/data", "calib", threads, sec,
+    val prefix = if (mode == "stream") "calibstream" else "calib"
+    println(s"[calib:$mode] threads=$threads sec=${ScalingBench.num(sec)}" +
+      s" sink=${sink.get()}")
+    ScalingBench.mergeLevel("/root/repo/data", prefix, threads, sec,
       units.toLong, "units")
-    ScalingBench.compose("/root/repo/data", "calib", "calibration.json",
-      "units")
+    ScalingBench.compose("/root/repo/data", prefix,
+      if (mode == "stream") "calibration_stream.json"
+      else "calibration.json", "units")
   }
 }

@@ -237,28 +237,35 @@ object Pyramid extends Serializable {
     import spark.implicits._
     val group = cfgE.groups.find(_.name == groupName).get
     val layerRank = group.layers.map(_.name).zipWithIndex.toMap
-    val cov = coverJoin(spark, features, group, cfgE.tileExtent, fmt,
-      zMin, zMax)
-    val enc = cov.flatMap(encodeFeature(cfgE, group, fmt, layerRank) _)
+    // split at the zoom-explode SOURCE (not a post-encode filter), so the
+    // expensive per-feature encode runs exactly once per (feature, tile)
+    // — a shared `enc` scanned by two filtered branches would recompute
+    // the whole encode lineage per branch
+    def enc(lo: Int, hi: Int) =
+      coverJoin(spark, features, group, cfgE.tileExtent, fmt, lo, hi)
+        .flatMap(encodeFeature(cfgE, group, fmt, layerRank) _)
 
     def assemble(tid: Long, it: Iterator[FeatPayload]) =
       assembleSorted(cfgE, group, fmt, groupName, tid, it)
 
-    val high = enc.filter(p => (p.tile_id >>> 58) > SaltMaxZ)
-      .groupByKey(_.tile_id)
-      .flatMapGroups { (tid: Long, rows: Iterator[FeatPayload]) =>
-        assemble(tid, rows.toArray.sortBy(payloadKey).iterator)
-      }
-    val low = enc.filter(p => (p.tile_id >>> 58) <= SaltMaxZ)
-      .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
-      .mapGroups { (key: (Long, Int), rows: Iterator[FeatPayload]) =>
-        TilePartial(key._1, key._2, rows.toArray.sortBy(payloadKey))
-      }
-      .groupByKey(_.tile_id)
-      .flatMapGroups { (tid: Long, parts: Iterator[TilePartial]) =>
-        assemble(tid, mergeRuns(parts.map(_.feats).toSeq))
-      }
-    high.unionByName(low)
+    val branches = Seq.newBuilder[Dataset[TileRow]]
+    if (zMax > SaltMaxZ)
+      branches += enc(math.max(zMin, SaltMaxZ + 1), zMax)
+        .groupByKey(_.tile_id)
+        .flatMapGroups { (tid: Long, rows: Iterator[FeatPayload]) =>
+          assemble(tid, rows.toArray.sortBy(payloadKey).iterator)
+        }
+    if (zMin <= SaltMaxZ)
+      branches += enc(zMin, math.min(zMax, SaltMaxZ))
+        .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
+        .mapGroups { (key: (Long, Int), rows: Iterator[FeatPayload]) =>
+          TilePartial(key._1, key._2, rows.toArray.sortBy(payloadKey))
+        }
+        .groupByKey(_.tile_id)
+        .flatMapGroups { (tid: Long, parts: Iterator[TilePartial]) =>
+          assemble(tid, mergeRuns(parts.map(_.feats).toSeq))
+        }
+    branches.result().reduce(_ unionByName _)
   }
 }
 
