@@ -836,6 +836,66 @@ object SparkEntry {
                       generate_series(1, len(r.xs) - 1), i -> $seg)), 0)
                     + $wrap)), 0) % 2) = 1"""
       },
+      "ew_rasterize" -> {
+        val H = Mercator.HalfWorld.toString
+        // z=10, grid=16, extent 256 — mirrors Raster.rasterizeLayer
+        // ("county", 10, 16) with the EXACT FP op order of
+        // TileGrid.tileTransform + Raster.rasterizeCount
+        def ax(e: String) = s"(r.xs[$e] * sx + txa)" // tile-space x
+        def ay(e: String) = s"(r.ys[$e] * sy + tya)" // tile-space y
+        s"""WITH f AS (SELECT id, rings, xmin, ymin, xmax, ymax,
+              (2 * $H / 1024.0) AS span
+              FROM read_parquet('$EwFeatsSmall/*.parquet')
+              WHERE layer = 'county' AND xmin <= xmax),
+            xr AS (SELECT *, unnest(generate_series(
+                greatest(0, CAST(ceil((xmin + $H) / span) AS BIGINT) - 1),
+                least(1023, CAST(floor((xmax + $H) / span) AS BIGINT))))
+                AS tx FROM f),
+            tt AS (SELECT *, unnest(generate_series(
+                greatest(0, CAST(ceil(($H - ymax) / span) AS BIGINT) - 1),
+                least(1023, CAST(floor(($H - ymin) / span) AS BIGINT))))
+                AS ty FROM xr),
+            tb AS (SELECT id, rings, tx, ty, span,
+                (-$H + tx * span) AS bxmin, ($H - ty * span) AS bymax
+              FROM tt),
+            tf AS (SELECT id, rings, tx, ty,
+                ((1.0 / ((bxmin + span) - bxmin)) * 256.0) AS sx,
+                ((-1.0 / ((bxmin + span) - bxmin)) * 256.0) AS sy,
+                (((-bxmin) / ((bxmin + span) - bxmin)) * 256.0) AS txa,
+                ((bymax / ((bxmin + span) - bxmin)) * 256.0) AS tya
+              FROM tb),
+            sl AS (SELECT id, tx, ty,
+                ((gy + 0.5) * 256.0) / 16.0 AS py, rings, sx, sy, txa, tya
+              FROM tf, (SELECT unnest(generate_series(0, 15)) AS gy) gg),
+            cr AS (SELECT id, tx, ty,
+                list_sort(flatten(list_transform(rings, r ->
+                  list_filter(list_transform(
+                    generate_series(1, len(r.xs) - 1), i ->
+                    CASE WHEN (${ay("i")} > py) != (${ay("i+1")} > py)
+                    THEN ${ax("i")} + ((py - ${ay("i")})
+                      / (${ay("i+1")} - ${ay("i")}))
+                      * (${ax("i+1")} - ${ax("i")})
+                    ELSE NULL END),
+                  v -> v IS NOT NULL)))) AS xs
+              FROM sl),
+            cells AS (SELECT id, tx, ty,
+                coalesce(list_sum(list_transform(
+                  generate_series(1, len(xs) // 2), k ->
+                  CASE WHEN
+                    least(15, CAST(floor((xs[2*k] - 8.0) / 16.0)
+                      AS BIGINT)) >=
+                    greatest(0, CAST(ceil((xs[2*k-1] - 8.0) / 16.0)
+                      AS BIGINT))
+                  THEN least(15, CAST(floor((xs[2*k] - 8.0) / 16.0)
+                      AS BIGINT))
+                    - greatest(0, CAST(ceil((xs[2*k-1] - 8.0) / 16.0)
+                      AS BIGINT)) + 1
+                  ELSE 0 END)), 0) AS c
+              FROM cr)
+            SELECT 'county' AS layer, id, 10 AS z, tx AS x, ty AS y,
+              CAST(sum(c) AS BIGINT) AS filled_cells
+            FROM cells GROUP BY 1, 2, 3, 4, 5 HAVING sum(c) > 0"""
+      },
       "ew_media_metadata" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),
