@@ -326,20 +326,26 @@ object SparkEntry {
     }),
     "ew_tiles_mvt" -> ((s, d) => {
       import s.implicits._
-      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "mvt", 0, 14).toDF()
+      // feature source = the materialized parquet (S5 loam-scan analog):
+      // the two-branch pyramid scans its source twice, and a parquet
+      // scan is far cheaper than recomputing the whole dig per branch
+      Pyramid.tiles(s, ewFeatsWritten(s, d).as[Feature], cfg, "tile",
+          "mvt", 0, 14).toDF()
         .select($"z", $"x", $"y", length($"bytes").as("n_bytes"),
           md5($"bytes").as("tile_md5"))
     }),
     "ew_tiles_wyrm" -> ((s, d) => {
       import s.implicits._
-      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "wyrm", 0, 14).toDF()
+      Pyramid.tiles(s, ewFeatsWritten(s, d).as[Feature], cfg, "tile",
+          "wyrm", 0, 14).toDF()
         .select($"z", $"x", $"y", length($"bytes").as("n_bytes"),
           md5($"bytes").as("tile_md5"))
     }),
     "ew_tile_lookup" -> ((s, d) => {
       import s.implicits._
       // the reference's canonical example tile (examples/make_mvt.rs:26-28)
-      Pyramid.tiles(s, ewFeatures(s, d), cfg, "tile", "mvt", 14, 14).toDF()
+      Pyramid.tiles(s, ewFeatsWritten(s, d).as[Feature], cfg, "tile",
+          "mvt", 14, 14).toDF()
         .where($"x" === 3946 && $"y" === 5895)
         .select($"z", $"x", $"y", base64($"bytes").as("tile_b64"))
     }),
@@ -379,14 +385,23 @@ object SparkEntry {
           round($"xmin", 3).as("xmin_r"), round($"ymin", 3).as("ymin_r"),
           round($"xmax", 3).as("xmax_r"), round($"ymax", 3).as("ymax_r"))
     }),
-    "ew_point_query" -> ((s, d) =>
-      Query.pointQuery(s, ewFeatures(s, d), cfg, 45.001, -93.29)),
-    "ew_pip_query" -> ((s, d) =>
-      Query.pipQuery(s, ewFeatures(s, d), cfg, 45.001, -93.29)),
+    "ew_point_query" -> ((s, d) => {
+      import s.implicits._
+      Query.pointQuery(s, ewFeatsWritten(s, d).as[Feature], cfg,
+        45.001, -93.29)
+    }),
+    "ew_pip_query" -> ((s, d) => {
+      import s.implicits._
+      Query.pipQuery(s, ewFeatsWritten(s, d).as[Feature], cfg,
+        45.001, -93.29)
+    }),
     "ew_media_metadata" -> ((s, d) =>
       Raster.mediaMetadata(s, ewDocs(s, d))),
-    "ew_rasterize" -> ((s, d) =>
-      Raster.rasterizeLayer(s, ewFeatures(s, d), cfg, "county", 10, 16))
+    "ew_rasterize" -> ((s, d) => {
+      import s.implicits._
+      Raster.rasterizeLayer(s, ewFeatsWritten(s, d).as[Feature], cfg,
+        "county", 10, 16)
+    })
   )
 
   // -------------------------------------------------------------- oracles
