@@ -1,22 +1,35 @@
 package graft.core
 
-import java.io.ByteArrayOutputStream
 import scala.collection.mutable
 
 /** Minimal protobuf writer — just what Mapbox Vector Tile 2.1 needs.
   * Written from the public MVT 2.1 spec + protobuf wire format docs
   * (the reference delegates to the `mvt` crate; see SURVEY.md §2.7 G3-G5).
+  *
+  * Backed by a plain unsynchronized byte array, NOT ByteArrayOutputStream:
+  * its per-byte `write()` is synchronized, and with biased locking gone
+  * (JDK 15+) that is an atomic op per emitted byte — ~19% of pyramid task
+  * CPU in profiling, plus cross-core memory-ordering traffic.
   */
 final class ProtoWriter {
-  private val out = new ByteArrayOutputStream(256)
+  private var buf = new Array[Byte](256)
+  private var len = 0
+
+  private def ensure(n: Int): Unit =
+    if (len + n > buf.length) {
+      var c = buf.length << 1
+      while (c < len + n) c <<= 1
+      buf = java.util.Arrays.copyOf(buf, c)
+    }
 
   def writeVarint(v0: Long): Unit = {
+    ensure(10)
     var v = v0
     while ((v & ~0x7FL) != 0L) {
-      out.write(((v & 0x7F) | 0x80).toInt)
+      buf(len) = ((v & 0x7F) | 0x80).toByte; len += 1
       v >>>= 7
     }
-    out.write((v & 0x7F).toInt)
+    buf(len) = (v & 0x7F).toByte; len += 1
   }
 
   def key(field: Int, wire: Int): Unit = writeVarint((field << 3) | wire)
@@ -24,7 +37,10 @@ final class ProtoWriter {
   def varintField(field: Int, v: Long): Unit = { key(field, 0); writeVarint(v) }
 
   def bytesField(field: Int, b: Array[Byte]): Unit = {
-    key(field, 2); writeVarint(b.length.toLong); out.write(b)
+    key(field, 2); writeVarint(b.length.toLong)
+    ensure(b.length)
+    System.arraycopy(b, 0, buf, len, b.length)
+    len += b.length
   }
 
   def stringField(field: Int, s: String): Unit =
@@ -36,7 +52,7 @@ final class ProtoWriter {
     bytesField(field, p.toBytes)
   }
 
-  def toBytes: Array[Byte] = out.toByteArray
+  def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
 
 object ProtoWriter {
@@ -57,69 +73,88 @@ object ProtoWriter {
   * removing a duplicated closing point) are elided.
   */
 final class MvtGeomEncoder(geomTp: GeomTp, bbox: BBox, transform: Affine) {
-  private val geoms = mutable.ArrayBuffer.empty[Vector[(Int, Int)]]
-  private var current = mutable.ArrayBuffer.empty[(Int, Int)]
+  // points packed as (x << 32) | (y & 0xFFFFFFFF) — no per-point tuple
+  // boxing in the map-side hot path
+  private val geoms = mutable.ArrayBuffer.empty[Array[Long]]
+  private var current = new Array[Long](8)
+  private var curLen = 0
+
+  @inline private def pack(x: Int, y: Int): Long =
+    (x.toLong << 32) | (y.toLong & 0xFFFFFFFFL)
+  @inline private def px(p: Long): Int = (p >> 32).toInt
+  @inline private def py(p: Long): Int = p.toInt
+
+  private def push(p: Long): Unit = {
+    if (curLen == current.length)
+      current = java.util.Arrays.copyOf(current, curLen << 1)
+    current(curLen) = p; curLen += 1
+  }
 
   def addPoint(x: Double, y: Double): Unit = {
     val p = transform(bbox.clamp(Pt(x, y)))
-    val ip = (Geom.rustRound(p.x), Geom.rustRound(p.y))
+    val ip = pack(Geom.rustRound(p.x), Geom.rustRound(p.y))
     geomTp match {
-      case GeomTp.Point => current += ip
+      case GeomTp.Point => push(ip)
       case _ =>
-        if (current.isEmpty || current.last != ip) current += ip
+        if (curLen == 0 || current(curLen - 1) != ip) push(ip)
     }
   }
 
   /** End the current geometry (a gap in a clipped linestring, or a ring
     * boundary). */
   def completeGeom(): Unit = {
-    if (current.nonEmpty) {
-      val g = geomTp match {
-        case GeomTp.Point => current.toVector
+    if (curLen > 0) {
+      val g: Array[Long] = geomTp match {
+        case GeomTp.Point => java.util.Arrays.copyOf(current, curLen)
         case GeomTp.Linestring =>
-          if (current.length >= 2) current.toVector else Vector.empty
+          if (curLen >= 2) java.util.Arrays.copyOf(current, curLen)
+          else Array.empty
         case GeomTp.Polygon =>
           // drop duplicated closing point (rings from OSM closed ways
           // carry first == last); ClosePath implies the closing segment
-          val v =
-            if (current.length >= 2 && current.head == current.last)
-              current.dropRight(1).toVector
-            else current.toVector
-          if (v.length >= 3) v else Vector.empty
+          val n =
+            if (curLen >= 2 && current(0) == current(curLen - 1)) curLen - 1
+            else curLen
+          if (n >= 3) java.util.Arrays.copyOf(current, n) else Array.empty
       }
       if (g.nonEmpty) geoms += g
-      current = mutable.ArrayBuffer.empty[(Int, Int)]
+      curLen = 0
     }
   }
 
-  def isEmpty: Boolean = { geoms.forall(_.isEmpty) && current.isEmpty }
+  def isEmpty: Boolean = geoms.isEmpty && curLen == 0
 
   /** Encode to MVT command/param integers. */
   def encode(): Array[Long] = {
     completeGeom()
     val cmds = mutable.ArrayBuffer.empty[Long]
-    var px = 0; var py = 0
-    def params(pts: Seq[(Int, Int)]): Unit = pts.foreach { case (x, y) =>
-      cmds += ProtoWriter.zigzag32(x - px)
-      cmds += ProtoWriter.zigzag32(y - py)
-      px = x; py = y
+    var lx = 0; var ly = 0
+    def param(p: Long): Unit = {
+      val x = px(p); val y = py(p)
+      cmds += ProtoWriter.zigzag32(x - lx)
+      cmds += ProtoWriter.zigzag32(y - ly)
+      lx = x; ly = y
     }
     geomTp match {
       case GeomTp.Point =>
-        val all = geoms.flatten
-        if (all.nonEmpty) {
-          cmds += ((1L) | (all.length.toLong << 3)) // MoveTo × n
-          params(all.toSeq)
+        val n = geoms.map(_.length).sum
+        if (n > 0) {
+          cmds += (1L | (n.toLong << 3)) // MoveTo × n
+          geoms.foreach(_.foreach(param))
         }
       case GeomTp.Linestring =>
         geoms.foreach { g =>
-          cmds += (1L | (1L << 3)); params(g.take(1))
-          cmds += (2L | ((g.length - 1).toLong << 3)); params(g.drop(1))
+          cmds += (1L | (1L << 3)); param(g(0))
+          cmds += (2L | ((g.length - 1).toLong << 3))
+          var i = 1
+          while (i < g.length) { param(g(i)); i += 1 }
         }
       case GeomTp.Polygon =>
         geoms.foreach { g =>
-          cmds += (1L | (1L << 3)); params(g.take(1))
-          cmds += (2L | ((g.length - 1).toLong << 3)); params(g.drop(1))
+          cmds += (1L | (1L << 3)); param(g(0))
+          cmds += (2L | ((g.length - 1).toLong << 3))
+          var i = 1
+          while (i < g.length) { param(g(i)); i += 1 }
           cmds += 7L // ClosePath
         }
     }
