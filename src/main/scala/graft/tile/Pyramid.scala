@@ -179,8 +179,24 @@ object Pyramid extends Serializable {
     }
   }
 
-  private def payloadKey(p: FeatPayload): (Int, Int, Long) =
-    (p.layer_rank, p.kind_rank, p.id)
+  /** Allocation-free (layer_rank, kind_rank, id) ordering — sortBy/
+    * Ordering.by would box a tuple per comparison in the hottest reduce
+    * loop. Keys are unique per tile, so the order is total. */
+  private val payloadOrd: java.util.Comparator[FeatPayload] =
+    new java.util.Comparator[FeatPayload] with Serializable {
+      override def compare(a: FeatPayload, b: FeatPayload): Int = {
+        if (a.layer_rank != b.layer_rank)
+          return Integer.compare(a.layer_rank, b.layer_rank)
+        if (a.kind_rank != b.kind_rank)
+          return Integer.compare(a.kind_rank, b.kind_rank)
+        java.lang.Long.compare(a.id, b.id)
+      }
+    }
+
+  private def sortPayloads(arr: Array[FeatPayload]): Array[FeatPayload] = {
+    java.util.Arrays.sort(arr, payloadOrd)
+    arr
+  }
 
   /** Deterministic salt from the (unique per tile) feature key. */
   def saltOf(p: FeatPayload, nSalts: Int): Int =
@@ -195,16 +211,21 @@ object Pyramid extends Serializable {
     val live = runs.filter(_.nonEmpty)
     if (live.isEmpty) return Iterator.empty
     if (live.size == 1) return live.head.iterator
-    implicit val ord: Ordering[(Int, Int)] = Ordering.by {
-      case (run, idx) => payloadKey(live(run)(idx))
+    // (run << 32 | idx) packed cursors in a binary heap ordered by the
+    // head payload's key — no per-comparison tuple boxing
+    val ord: Ordering[Long] = new Ordering[Long] {
+      override def compare(a: Long, b: Long): Int =
+        payloadOrd.compare(
+          live((a >> 32).toInt)(a.toInt), live((b >> 32).toInt)(b.toInt))
     }
-    val pq = mutable.PriorityQueue.empty[(Int, Int)](ord.reverse)
-    live.indices.foreach(r => pq.enqueue((r, 0)))
+    val pq = mutable.PriorityQueue.empty[Long](ord.reverse)
+    live.indices.foreach(r => pq.enqueue(r.toLong << 32))
     new Iterator[FeatPayload] {
       def hasNext: Boolean = pq.nonEmpty
       def next(): FeatPayload = {
-        val (r, i) = pq.dequeue()
-        if (i + 1 < live(r).length) pq.enqueue((r, i + 1))
+        val c = pq.dequeue()
+        val r = (c >> 32).toInt; val i = c.toInt
+        if (i + 1 < live(r).length) pq.enqueue((r.toLong << 32) | (i + 1))
         live(r)(i)
       }
     }
@@ -253,13 +274,13 @@ object Pyramid extends Serializable {
       branches += enc(math.max(zMin, SaltMaxZ + 1), zMax)
         .groupByKey(_.tile_id)
         .flatMapGroups { (tid: Long, rows: Iterator[FeatPayload]) =>
-          assemble(tid, rows.toArray.sortBy(payloadKey).iterator)
+          assemble(tid, sortPayloads(rows.toArray).iterator)
         }
     if (zMin <= SaltMaxZ)
       branches += enc(zMin, math.min(zMax, SaltMaxZ))
         .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
         .mapGroups { (key: (Long, Int), rows: Iterator[FeatPayload]) =>
-          TilePartial(key._1, key._2, rows.toArray.sortBy(payloadKey))
+          TilePartial(key._1, key._2, sortPayloads(rows.toArray))
         }
         .groupByKey(_.tile_id)
         .flatMapGroups { (tid: Long, parts: Iterator[TilePartial]) =>
