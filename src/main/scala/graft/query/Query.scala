@@ -135,14 +135,29 @@ object Query {
     while (prevR < n - 1 && !unresolved.isEmpty) {
       val r =
         if (prevR < 0) 0 else math.min(n - 1, math.max(1, prevR * 2 + 1))
-      val offsets = annulusCells(prevR, r).toDF("dx", "dy")
-      val cand = unresolved
-        .join(broadcast(offsets))
-        .select($"qid", $"qx", $"qy",
-          ($"qcx" + $"dx").as("cx"), ($"qcy" + $"dy").as("cy"),
-          $"qcx", $"qcy")
-        .where($"cx" >= 0 && $"cx" < n && $"cy" >= 0 && $"cy" < n)
-        .join(dataCells, Seq("cx", "cy"))
+      // annulus cells as a broadcast offset table while small; past 64k
+      // offsets (large z, sparse data) switch to a Chebyshev range join —
+      // by then few queries remain unresolved, so the nested-loop side is
+      // tiny and the offset table would be the blowup
+      val annulusSize =
+        (2L * r + 1) * (2L * r + 1) - (if (prevR < 0) 0L
+          else (2L * prevR + 1) * (2L * prevR + 1))
+      val cand0 =
+        if (annulusSize <= 65536) {
+          val offsets = annulusCells(prevR, r).toDF("dx", "dy")
+          unresolved
+            .join(broadcast(offsets))
+            .select($"qid", $"qx", $"qy",
+              ($"qcx" + $"dx").as("cx"), ($"qcy" + $"dy").as("cy"),
+              $"qcx", $"qcy")
+            .where($"cx" >= 0 && $"cx" < n && $"cy" >= 0 && $"cy" < n)
+            .join(dataCells, Seq("cx", "cy"))
+        } else {
+          val cheb = greatest(abs($"cx" - $"qcx"), abs($"cy" - $"qcy"))
+          unresolved.join(dataCells,
+            cheb <= r && cheb > prevR, "inner")
+        }
+      val cand = cand0
         .select($"qid", $"qx", $"qy", $"qcx", $"qcy", $"did",
           (($"qx" - $"x") * ($"qx" - $"x") +
             ($"qy" - $"y") * ($"qy" - $"y")).as("d2"))

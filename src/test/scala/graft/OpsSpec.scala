@@ -143,6 +143,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("kNN at z=12 (16M-cell grid, 3 points): range-join path, no offset blowup") {
+    import spark.implicits._
+    val H = Mercator.HalfWorld
+    val qdf = Seq((1L, -0.9 * H, -0.9 * H)).toDF("qid", "x", "y")
+    val ds = Seq((10L, 0.8 * H, 0.8 * H), (11L, 0.0, 0.1 * H))
+    val ddf = ds.toDF("did", "x", "y")
+    val got = Query.knnJoin(spark, qdf, ddf, k = 2, z = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // brute force: 11 is nearer than 10
+    assert(got == Set((1L, 1, 11L), (1L, 2, 10L)))
+  }
+
   test("hot-bucket cap: 1k identical docs produce no quadratic stage") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
