@@ -124,7 +124,8 @@ object Bench {
     // ---- representative table ops at the given SF ----
     val tableOps = Seq("q1_agg", "q3_join_topk", "dedup_minhash",
       "dedup_minhash_pairs", "dedup_simhash", "ann_cosine_topk",
-      "ann_lsh_topk", "knn_join", "j4_cover_explode", "text_quality")
+      "ann_lsh_topk", "ann_ivf_topk", "knn_join", "j4_cover_explode",
+      "text_quality")
     tableOps.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try timed(name) { fn(spark, sfDir).count() }

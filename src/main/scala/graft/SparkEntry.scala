@@ -283,6 +283,7 @@ object SparkEntry {
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
     "ann_cosine_topk" -> ((s, d) => PipelineOps.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => PipelineOps.annIvfTopK(s, d)),
     "text_lang_id" -> ((s, d) => PipelineOps.textLangId(s, d)),
     "text_quality" -> ((s, d) => PipelineOps.textQuality(s, d)),
     "text_token_count" -> ((s, d) => PipelineOps.textTokenCount(s, d)),

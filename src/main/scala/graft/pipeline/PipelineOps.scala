@@ -219,6 +219,89 @@ object PipelineOps {
         round($"cos", 6).as("cos_r"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: a small
+    * deterministic coarse quantizer (k-means with fixed iterations; seed
+    * centroids = the nClusters vectors with the smallest mix64(vec_id);
+    * per-dimension means summed in DECIMAL so centroid refinement is
+    * independent of partitioning), vectors assigned to their nearest
+    * centroid (the inverted lists), queries probe the nProbe nearest
+    * lists only. Centroids are tiny (nClusters × dim) and live in the
+    * plan as literals — the assignment is a map-side expression, the
+    * inverted-list join a bucket equi-join; nothing driver-side grows
+    * with the corpus. Approximate: validated by a recall floor against
+    * the brute-force baseline, like LSH. */
+  def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+                 nClusters: Int = 16, nProbe: Int = 8,
+                 iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    // cluster on L2-NORMALIZED vectors: the final ranking is cosine, and
+    // L2 on the unit sphere is monotone in cosine — clustering raw
+    // magnitudes would split cosine-neighbors across lists
+    val e0 = embeddings(spark, sfDir)
+      .withColumn("nrm", sqrt(aggregate(zip_with($"embedding",
+        $"embedding", (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (x, y) => x + y)))
+      .withColumn("ne", transform($"embedding",
+        v => v.cast("double") / $"nrm"))
+
+    def centroidLit(cs: Array[Array[Double]]): Column =
+      array(cs.map(c => array(c.map(lit): _*)): _*)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    def nearest(cs: Array[Array[Double]], emb: Column): Column = {
+      val dists = transform(centroidLit(cs), c => l2(c, emb))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    // deterministic seed sample (xxhash64 is a fixed-seed built-in)
+    var centroids: Array[Array[Double]] = e0
+      .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
+      .limit(nClusters)
+      .select($"ne")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = e0.select(
+        nearest(centroids, $"ne").as("c"),
+        posexplode($"ne").as(Seq("dim", "v")))
+      val means = assigned.groupBy($"c", $"dim")
+        .agg((sum($"v".cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+
+    val buckets = e0.select($"vec_id", $"embedding",
+      nearest(centroids, $"ne").as("c"))
+    // queries probe their nProbe nearest centroids
+    val probes = e0.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        transform(centroidLit(centroids), c => l2(c, $"ne"))
+          .as("dists"))
+      .select($"query_id", $"qe", posexplode(
+        slice(array_sort(zip_with($"dists",
+          sequence(lit(0), lit(nClusters - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
+        .as(Seq("p", "pc")))
+      .select($"query_id", $"qe", $"pc.i".as("c"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id")
+    buckets.join(probes, Seq("c"))
+      .where($"vec_id" =!= $"query_id")
+      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        round($"cos", 6).as("cos_r"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   val domainLists: Seq[(String, Seq[String])] = Seq(

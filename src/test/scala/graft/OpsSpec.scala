@@ -118,6 +118,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF ANN recall vs brute force ≥ 0.7 on sf0.001 embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.pipeline.PipelineOps.annIvfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"ivf recall = $recall")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("sparse-data kNN completes in O(log n) driver rounds") {
     import spark.implicits._
     // 3 data points in far-apart cells at z=6 (n=64): linear ring growth
