@@ -170,10 +170,29 @@ final case class MvtFeature(
 
 /** MVT layer builder with key/value interning (MVT 2.1 layer message).
   * Invalid sint values are warned-and-dropped upstream (reference
-  * mvtenc.rs:33-40). */
+  * mvtenc.rs:33-40).
+  *
+  * Geometry is stored PRE-VARINTED: a packed field of varints is
+  * byte-identical to the concatenation of each varint, so the command
+  * array can be encoded once map-side and shipped as compact bytes
+  * (~1-2 B per command instead of 8 B of Long) — `addFeatureRaw` takes
+  * that form directly; `addFeature` converts. */
 final class MvtLayer(name: String, extent: Int) {
-  private val features = mutable.ArrayBuffer.empty[MvtFeature]
-  def addFeature(f: MvtFeature): Unit = if (f.geometry.nonEmpty) features += f
+  private val features =
+    mutable.ArrayBuffer.empty[(GeomTp, Array[Byte],
+      Seq[(String, Either[String, Long])])]
+
+  def addFeature(f: MvtFeature): Unit = if (f.geometry.nonEmpty) {
+    val gw = new ProtoWriter
+    f.geometry.foreach(gw.writeVarint)
+    features += ((f.geomTp, gw.toBytes, f.tags))
+  }
+
+  /** Pre-varinted geometry payload (field-4 body bytes). */
+  def addFeatureRaw(geomTp: GeomTp, geomBytes: Array[Byte],
+                    tags: Seq[(String, Either[String, Long])]): Unit =
+    if (geomBytes.nonEmpty) features += ((geomTp, geomBytes, tags))
+
   def numFeatures: Int = features.length
 
   def encode(): Array[Byte] = {
@@ -181,20 +200,20 @@ final class MvtLayer(name: String, extent: Int) {
     val values = mutable.LinkedHashMap.empty[Either[String, Long], Int]
     val w = new ProtoWriter
     w.stringField(1, name)
-    features.foreach { f =>
+    features.foreach { case (geomTp, geomBytes, tags) =>
       val fw = new ProtoWriter
-      val tagIdx = f.tags.flatMap { case (k, v) =>
+      val tagIdx = tags.flatMap { case (k, v) =>
         val ki = keys.getOrElseUpdate(k, keys.size)
         val vi = values.getOrElseUpdate(v, values.size)
         Seq(ki.toLong, vi.toLong)
       }
       fw.packedField(2, tagIdx)
-      fw.varintField(3, f.geomTp match {
+      fw.varintField(3, geomTp match {
         case GeomTp.Point => 1L
         case GeomTp.Linestring => 2L
         case GeomTp.Polygon => 3L
       })
-      fw.packedField(4, f.geometry.toSeq)
+      fw.bytesField(4, geomBytes)
       w.bytesField(2, fw.toBytes)
     }
     keys.keys.foreach(k => w.stringField(3, k))

@@ -37,6 +37,18 @@ object Encode {
       else Some((tag, Left(v)))
     }
 
+  /** Same selection as [[mvtTags]], but as (include-pattern index, value)
+    * pairs — the minimal shuffle form; tag names and sint flags are
+    * re-derived from the layer config at assembly. */
+  def mvtTagIdx(layer: LayerDef, values: Seq[String]): Seq[(Int, String)] =
+    layer.includeTags.indices.flatMap { i =>
+      val v = if (i < values.length) values(i) else null
+      if (v == null) None
+      else if (layer.includeTags(i)._2) // sint: drop unparsable
+        v.toLongOption.map(_ => (i, v))
+      else Some((i, v))
+    }
+
   // ------------------------------------------------------------------ MVT
 
   /** Encode one feature's geometry to MVT commands; empty → elide. */

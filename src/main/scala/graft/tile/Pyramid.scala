@@ -16,13 +16,15 @@ final case class TileFeatRow(tile_id: Long, layer: String, kind_rank: Int,
 /** One PRE-ENCODED feature payload: the geometry work (clip / simplify /
   * transform / command encode) is done per-feature BEFORE the shuffle, so
   * the hot z0-2 tiles (a z0 tile covers the whole corpus) never serialize
-  * encode work into one task, and the shuffle carries compact command
-  * arrays instead of raw rings. MVT fields: `geom` + tag triplets; Wyrm
-  * fields: `content` + `found`. */
+  * encode work into one task. The shuffle representation is minimal:
+  * `geom` carries the command varints PRE-SERIALIZED as bytes (~1-2 B per
+  * command vs 8 B of Long), and tags travel as include-pattern INDICES
+  * plus value strings — the key names and sint flags are re-derived from
+  * the layer config at assembly. Wyrm fields: `content` + `found`. */
 final case class FeatPayload(
     tile_id: Long, layer_rank: Int, kind_rank: Int, id: Long,
-    geom: Array[Long], tag_keys: Seq[String], tag_vals: Seq[String],
-    tag_sint: Seq[Boolean], content: String, found: Boolean)
+    geom: Array[Byte], tag_idx: Seq[Int], tag_vals: Seq[String],
+    content: String, found: Boolean)
 
 /** The batch tile-pyramid job (SURVEY.md §3.2 "Spark shape"):
   *
@@ -87,11 +89,11 @@ object Pyramid extends Serializable {
       val cmds = Encode.mvtGeometry(layer.geomTp, r.rings, tcfg)
       if (cmds.isEmpty) None
       else {
-        val tags = Encode.mvtTags(layer, r.values)
-        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id, cmds,
-          tags.map(_._1),
-          tags.map(t => t._2.fold(identity, _.toString)),
-          tags.map(_._2.isRight), "", found = true))
+        val gw = new ProtoWriter
+        cmds.foreach(gw.writeVarint)
+        val tags = Encode.mvtTagIdx(layer, r.values)
+        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id, gw.toBytes,
+          tags.map(_._1), tags.map(_._2), "", found = true))
       }
     } else {
       val rendered: Option[(String, Boolean)] = layer.geomTp match {
@@ -106,7 +108,7 @@ object Pyramid extends Serializable {
       }
       rendered.map { case (content, found) =>
         FeatPayload(r.tile_id, rank, r.kind_rank, r.id, Array.empty,
-          Nil, Nil, Nil, content, found)
+          Nil, Nil, content, found)
       }
     }
   }
@@ -131,12 +133,14 @@ object Pyramid extends Serializable {
           curRank = p.layer_rank
           ml = new MvtLayer(group.layers(curRank).name, cfgE.tileExtent)
         }
-        val tags = p.tag_keys.indices.map { j =>
-          (p.tag_keys(j),
-            if (p.tag_sint(j)) Right(p.tag_vals(j).toLong)
+        val layer = group.layers(curRank)
+        val tags = p.tag_idx.indices.map { j =>
+          val (tag, sint) = layer.includeTags(p.tag_idx(j))
+          (tag,
+            if (sint) Right(p.tag_vals(j).toLong): Either[String, Long]
             else Left(p.tag_vals(j)))
         }
-        ml.addFeature(MvtFeature(group.layers(curRank).geomTp, p.geom, tags))
+        ml.addFeatureRaw(layer.geomTp, p.geom, tags)
       }
       if (ml != null && ml.numFeatures > 0) layerBytes += ml.encode()
       if (layerBytes.nonEmpty)
