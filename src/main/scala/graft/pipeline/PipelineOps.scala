@@ -220,10 +220,10 @@ object PipelineOps {
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a small
-    * deterministic coarse quantizer (k-means with fixed iterations; seed
-    * centroids = the nClusters vectors with the smallest mix64(vec_id);
-    * per-dimension means summed in DECIMAL so centroid refinement is
-    * independent of partitioning), vectors assigned to their nearest
+    * deterministic coarse quantizer (k-means trained DRIVER-SIDE on a
+    * fixed-size sample selected by xxhash64 order — the standard
+    * train-on-sample pattern, so quantizer cost is constant in the corpus
+    * size and fully deterministic), vectors assigned to their nearest
     * centroid (the inverted lists), queries probe the nProbe nearest
     * lists only. Centroids are tiny (nClusters × dim) and live in the
     * plan as literals — the assignment is a map-side expression, the
@@ -232,7 +232,7 @@ object PipelineOps {
     * the brute-force baseline, like LSH. */
   def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
                  nClusters: Int = 16, nProbe: Int = 8,
-                 iters: Int = 3): DataFrame = {
+                 iters: Int = 5, sampleSize: Int = 2048): DataFrame = {
     import spark.implicits._
     // cluster on L2-NORMALIZED vectors: the final ranking is cosine, and
     // L2 on the unit sphere is monotone in cosine — clustering raw
@@ -255,27 +255,37 @@ object PipelineOps {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
-    // deterministic seed sample (xxhash64 is a fixed-seed built-in)
-    var centroids: Array[Array[Double]] = e0
+    // deterministic training sample (xxhash64 is a fixed-seed built-in)
+    val sample: Array[Array[Double]] = e0
       .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
-      .limit(nClusters)
+      .limit(sampleSize)
       .select($"ne")
       .collect()
       .map(_.getSeq[Double](0).toArray)
-
+    var centroids = sample.take(nClusters).map(_.clone())
     for (_ <- 1 to iters) {
-      val assigned = e0.select(
-        nearest(centroids, $"ne").as("c"),
-        posexplode($"ne").as(Seq("dim", "v")))
-      val means = assigned.groupBy($"c", $"dim")
-        .agg((sum($"v".cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      val dim = centroids(0).length
+      val sums = Array.fill(nClusters)(new Array[Double](dim))
+      val counts = new Array[Long](nClusters)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < nClusters) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      centroids = next
+      centroids = Array.tabulate(nClusters) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
     }
 
     val buckets = e0.select($"vec_id", $"embedding",
