@@ -93,6 +93,11 @@ object Bench {
       e.count()
       e
     }
+    // codegen/JIT warmup on the micro corpus (same plan shape), so the
+    // measured dig is the warm engine — symmetric with the pyramid reps
+    Dig.features(spark,
+      Extract.entities(spark.createDataset(CorpusGen.microDocs()).toDF()),
+      cfg).count()
     val features = timed("dig") {
       val f = Dig.features(spark, entities, cfg).cache()
       f.count()
