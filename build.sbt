@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate parses the LAST stdout line as JSON. sbt's
+// default LoggedOutput frames forked output with "[info] " and appends
+// "[success] Total time: ..." after it — both corrupted the round-1/2
+// BENCH records (parsed:null). StdoutOutput passes the forked JVM's
+// stdout through verbatim (its stderr goes to real stderr, keeping Spark
+// log noise out of stdout); showSuccess drops the trailing banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,10 +105,13 @@ object Bench {
     }
     val nFeatures = features.count()
     docs.unpersist(); entities.unpersist()
-    // warm reps: first run pays JIT/codegen compilation; headline = best
+    // warm reps: first run pays JIT/codegen compilation; headline = best.
+    // pyramid_max_task_sec is taken from the rep that produced the min
+    // wall time (ADVICE r2: last-rep capture mixed reps), and the listener
+    // scopes to whatever jobs overlap the rep window — hence the _window
+    // suffix caveat lives in the field name's doc, not a second metric.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var nTiles = 0L
-    var pyramidMaxTaskSec = 0.0
     val runs = (1 to reps).map { i =>
       maxTask.reset()
       val t0 = System.nanoTime()
@@ -116,15 +119,22 @@ object Bench {
         .tiles(spark, features, cfg, "tile", "mvt", 0, 14).count()
       val sec = (System.nanoTime() - t0) / 1e9
       results(s"pyramid_mvt_rep$i") = sec
-      pyramidMaxTaskSec = maxTask.maxTaskMs / 1e3
-      sec
+      (sec, maxTask.maxTaskMs / 1e3)
     }
-    results("pyramid_mvt_z0_14") = runs.min
-    val tilesPerSec = nTiles / runs.min
-    timed("pyramid_wyrm_z0_12") {
-      graft.tile.Pyramid
-        .tiles(spark, features, cfg, "tile", "wyrm", 0, 12).count()
+    results("pyramid_mvt_z0_14") = runs.map(_._1).min
+    val pyramidMaxTaskSec = runs.minBy(_._1)._2
+    val tilesPerSec = nTiles / runs.map(_._1).min
+    // wyrm gets the same warm-rep treatment as mvt: round 2 timed a single
+    // rep and recorded 21.3 s where reps vary 7-19 s (cold codegen + VM
+    // load) — per-rep times make the variance visible, headline = best
+    (1 to reps).foreach { i =>
+      timed(s"pyramid_wyrm_rep$i") {
+        graft.tile.Pyramid
+          .tiles(spark, features, cfg, "tile", "wyrm", 0, 12).count()
+      }
     }
+    results("pyramid_wyrm_z0_12") =
+      (1 to reps).map(i => results(s"pyramid_wyrm_rep$i")).min
 
     // ---- representative table ops at the given SF ----
     val tableOps = Seq("q1_agg", "q3_join_topk", "dedup_minhash",
