@@ -165,18 +165,74 @@ object PipelineOps {
         round($"cos", 6).as("cos_r"))
   }
 
+  // ---- ANN scale parameters (VERDICT r2 #3): the bucket/cluster counts
+  //      are DERIVED from the corpus count so posting lists stay ≈
+  //      constant-size at any scale, and candidate lists get the same
+  //      degenerate-duplicate fence the dedup ops have (MaxBucket) ----
+
+  /** Target LSH posting-list size: with 2^planes buckets per table,
+    * planes = ⌈log₂(n / target)⌉ keeps the expected bucket near this at
+    * every corpus size (floored at 4 planes so tiny corpora keep enough
+    * buckets to discriminate at all). */
+  val AnnTargetBucket = 512
+
+  /** ANN candidate-list cap — the [[MaxBucket]] analog. A posting list
+    * 4× its expected size means near-identical vectors piling into one
+    * bucket (exact/near-dup territory that `dedupExact`/`dedupMinhash*`
+    * already handle); joining it would go quadratic inside one key, so
+    * over-cap lists are DROPPED. Queries keep their 15 other tables
+    * (LSH) / other probes (IVF). */
+  val AnnMaxBucket = 4 * AnnTargetBucket
+
+  /** Target IVF inverted-list size (nClusters = ⌈n / target⌉). */
+  val AnnTargetList = 1024
+
+  /** IVF inverted-list cap (the same fence; lists are ~2× bigger than
+    * LSH buckets by design so the cap scales with [[AnnTargetList]]). */
+  val AnnMaxList = 4 * AnnTargetList
+
+  /** Hard ceiling on IVF centroid count: centroids are broadcast to every
+    * task (and inlined as plan literals below 64), so they must stay
+    * O(small). Past ~4096 a single-level quantizer stops being the right
+    * structure anyway — the documented scale-out is two-level IVF
+    * (coarse×fine = 16M effective lists), same assignment plan applied
+    * twice. */
+  val AnnMaxClusters = 4096
+
+  def annPlanesFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble /
+      AnnTargetBucket) / math.log(2.0)).toInt)
+
+  def annClustersFor(n: Long): Int =
+    math.min(AnnMaxClusters,
+      math.max(16, math.ceil(math.max(1L, n).toDouble /
+        AnnTargetList).toInt))
+
   /** LSH-bucketed ANN (the 100 TB path): `nTables` independent hash
     * tables, each a sign-bit bucket over `planesPerTable` deterministic
     * pseudo-random hyperplanes; candidates = union over tables of
     * same-bucket vectors (the standard multi-table LSH trade-off: more
     * tables → higher recall, bucket shuffle join instead of n²).
-    * Approximate — validated by a recall test against the brute-force
-    * baseline, not a SQL oracle. */
+    * `planesPerTable = 0` (the default) derives ⌈log₂(n/512)⌉ from the
+    * corpus count — a parquet footer count, no data scan. Posting lists
+    * over `maxBucket` are dropped (degenerate duplicates; see
+    * [[AnnMaxBucket]]). Approximate — validated by a recall test against
+    * the brute-force baseline plus a hot-bucket cap test, not a SQL
+    * oracle. */
   def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-                 nTables: Int = 16, planesPerTable: Int = 4,
-                 dim: Int = 64): DataFrame = {
+                 nTables: Int = 16, planesPerTable: Int = 0,
+                 dim: Int = 64,
+                 maxBucket: Int = AnnMaxBucket): DataFrame =
+    annLshTopKDf(spark, embeddings(spark, sfDir), k, nTables,
+      planesPerTable, dim, maxBucket)
+
+  def annLshTopKDf(spark: SparkSession, e0: DataFrame, k: Int,
+                   nTables: Int, planesPerTable: Int, dim: Int,
+                   maxBucket: Int): DataFrame = {
     import spark.implicits._
-    def planesLit(table: Int) = array(Array.tabulate(planesPerTable) {
+    val planes =
+      if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
+    def planesLit(table: Int) = array(Array.tabulate(planes) {
       p =>
         array(Array.tabulate(dim) { i =>
           val h = graft.ingest.SpanCodec.mix64(
@@ -187,25 +243,30 @@ object PipelineOps {
     def bucket(table: Int, e: Column): Column =
       aggregate(
         zip_with(planesLit(table),
-          sequence(lit(0), lit(planesPerTable - 1)), (pl, i) =>
+          sequence(lit(0), lit(planes - 1)), (pl, i) =>
             when(aggregate(zip_with(pl, e,
               (p, v) => p * v.cast("double")), lit(0.0), (a, v) => a + v)
               > 0, pow(lit(2.0), i.cast("double")).cast("int"))
               .otherwise(lit(0))),
         lit(0), (acc, v) => acc + v)
-    val e0 = embeddings(spark, sfDir)
     val e = e0.select($"vec_id" +: $"embedding" +:
       (0 until nTables).map(t => bucket(t, $"embedding")
         .as(s"bkt$t")): _*).cache()
-    // (table, bucket) posting lists
+    // (table, bucket) posting lists, hot buckets dropped (cand side only:
+    // a query whose bucket was dropped simply gets no candidates from
+    // that table — its other tables still vote)
     val tb = e.select($"vec_id", $"embedding",
       posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
         .as(Seq("table", "bkt")))
+    val keep = tb.groupBy($"table", $"bkt")
+      .agg(count(lit(1)).as("bc"))
+      .where($"bc" <= maxBucket)
+      .select($"table", $"bkt")
     val q = tb.join(e0.where($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id")),
       tb("vec_id") === col("query_id"))
       .select($"query_id", $"embedding".as("qe"), $"table", $"bkt")
-    val cand = tb.join(q, Seq("table", "bkt"))
+    val cand = tb.join(keep, Seq("table", "bkt")).join(q, Seq("table", "bkt"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"qe", $"vec_id", $"embedding")
       .dropDuplicates("query_id", "vec_id")
@@ -231,18 +292,39 @@ object PipelineOps {
     * with the corpus. Approximate: validated by a recall floor against
     * the brute-force baseline, like LSH. */
   def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-                 nClusters: Int = 16, nProbe: Int = 8,
-                 iters: Int = 5, sampleSize: Int = 2048): DataFrame = {
+                 nClusters: Int = 0, nProbe: Int = 8,
+                 iters: Int = 5, sampleSize: Int = 0,
+                 maxList: Int = AnnMaxList): DataFrame =
+    annIvfTopKDf(spark, embeddings(spark, sfDir), k, nClusters, nProbe,
+      iters, sampleSize, maxList)
+
+  /** `nClusters = 0` derives ⌈n / 1024⌉ (clamped to [16, 4096]) from the
+    * corpus count; `sampleSize = 0` derives 32·nClusters (clamped to
+    * [2048, 65536]) so training stays a constant-size driver collect at
+    * any corpus size. Inverted lists over `maxList` are dropped — see
+    * [[AnnMaxList]]. Centroid assignment is a plan-literal expression up
+    * to 64 centroids (whole-stage codegen, zero extra shuffle) and a
+    * broadcast equi-free join + min_by above that (literal arrays of
+    * 4096×64 doubles would blow up the plan). */
+  def annIvfTopKDf(spark: SparkSession, emb: DataFrame, k: Int,
+                   nClusters: Int, nProbe: Int, iters: Int,
+                   sampleSize: Int, maxList: Int): DataFrame = {
     import spark.implicits._
     // cluster on L2-NORMALIZED vectors: the final ranking is cosine, and
     // L2 on the unit sphere is monotone in cosine — clustering raw
     // magnitudes would split cosine-neighbors across lists
-    val e0 = embeddings(spark, sfDir)
+    val e0 = emb
       .withColumn("nrm", sqrt(aggregate(zip_with($"embedding",
         $"embedding", (a, b) => a.cast("double") * b.cast("double")),
         lit(0.0), (x, y) => x + y)))
       .withColumn("ne", transform($"embedding",
         v => v.cast("double") / $"nrm"))
+
+    val wantClusters =
+      if (nClusters > 0) nClusters else annClustersFor(emb.count())
+    val wantSample =
+      if (sampleSize > 0) sampleSize
+      else math.min(65536, math.max(2048, 32 * wantClusters))
 
     def centroidLit(cs: Array[Array[Double]]): Column =
       array(cs.map(c => array(c.map(lit): _*)): _*)
@@ -250,27 +332,28 @@ object PipelineOps {
       aggregate(zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d
       }), lit(0.0), (acc, v) => acc + v)
-    def nearest(cs: Array[Array[Double]], emb: Column): Column = {
-      val dists = transform(centroidLit(cs), c => l2(c, emb))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
 
     // deterministic training sample (xxhash64 is a fixed-seed built-in)
     val sample: Array[Array[Double]] = e0
       .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
-      .limit(sampleSize)
+      .limit(wantSample)
       .select($"ne")
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    var centroids = sample.take(nClusters).map(_.clone())
+    require(sample.nonEmpty,
+      "annIvfTopK: embedding table is empty — nothing to index")
+    // a corpus smaller than the requested cluster count would index past
+    // the seed sample (ADVICE r2) — clamp, never crash
+    val kC = math.max(1, math.min(wantClusters, sample.length))
+    var centroids = sample.take(kC).map(_.clone())
     for (_ <- 1 to iters) {
       val dim = centroids(0).length
-      val sums = Array.fill(nClusters)(new Array[Double](dim))
-      val counts = new Array[Long](nClusters)
+      val sums = Array.fill(kC)(new Array[Double](dim))
+      val counts = new Array[Long](kC)
       sample.foreach { v =>
         var best = 0; var bd = Double.MaxValue
         var c = 0
-        while (c < nClusters) {
+        while (c < kC) {
           var d = 0.0; var i = 0
           while (i < dim) {
             val t = v(i) - centroids(c)(i); d += t * t; i += 1
@@ -282,28 +365,64 @@ object PipelineOps {
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      centroids = Array.tabulate(nClusters) { c =>
+      centroids = Array.tabulate(kC) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
     }
+    val probeN = math.min(nProbe, kC)
 
-    val buckets = e0.select($"vec_id", $"embedding",
-      nearest(centroids, $"ne").as("c"))
-    // queries probe their nProbe nearest centroids
-    val probes = e0.where($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        transform(centroidLit(centroids), c => l2(c, $"ne"))
-          .as("dists"))
-      .select($"query_id", $"qe", posexplode(
-        slice(array_sort(zip_with($"dists",
-          sequence(lit(0), lit(nClusters - 1)),
-          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
-        .as(Seq("p", "pc")))
-      .select($"query_id", $"qe", $"pc.i".as("c"))
+    val (buckets, probes) =
+      if (kC <= 64) {
+        // literal fast path: assignment is a codegen'd expression
+        def nearest(emb: Column): Column = {
+          val dists = transform(centroidLit(centroids), c => l2(c, emb))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
+        val b = e0.select($"vec_id", $"embedding",
+          nearest($"ne").as("c"))
+        val p = e0.where($"vec_id" % 50 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+            transform(centroidLit(centroids), c => l2(c, $"ne"))
+              .as("dists"))
+          .select($"query_id", $"qe", posexplode(
+            slice(array_sort(zip_with($"dists",
+              sequence(lit(0), lit(kC - 1)),
+              (d, i) => struct(d.as("d"), i.as("i")))), 1, probeN))
+            .as(Seq("p", "pc")))
+          .select($"query_id", $"qe", $"pc.i".as("c"))
+        (b, p)
+      } else {
+        // broadcast path: centroids as a broadcast table, nearest via
+        // min_by with a (distance, id) tie-break — deterministic
+        val cents = spark.createDataset(
+          centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("c", "cent")
+        val b = e0.crossJoin(broadcast(cents))
+          .withColumn("d", l2($"cent", $"ne"))
+          .groupBy($"vec_id")
+          .agg(min_by(struct($"c", $"embedding"), struct($"d", $"c"))
+            .as("best"))
+          .select($"vec_id", $"best.embedding".as("embedding"),
+            $"best.c".as("c"))
+        val pw = Window.partitionBy($"query_id").orderBy($"d", $"c")
+        val p = e0.where($"vec_id" % 50 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"ne")
+          .crossJoin(broadcast(cents))
+          .withColumn("d", l2($"cent", $"ne"))
+          .withColumn("pr", row_number().over(pw))
+          .where($"pr" <= probeN)
+          .select($"query_id", $"qe", $"c")
+        (b, p)
+      }
+
+    // inverted-list cap (the MaxBucket fence): degenerate piles of
+    // near-identical vectors would make the probe join quadratic
+    val keep = buckets.groupBy($"c").agg(count(lit(1)).as("lc"))
+      .where($"lc" <= maxList).select($"c")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
-    buckets.join(probes, Seq("c"))
+    buckets.join(keep, Seq("c")).join(probes, Seq("c"))
       .where($"vec_id" =!= $"query_id")
       .withColumn("cos", dotCos($"qe", $"embedding"))
       .withColumn("rank", row_number().over(w))

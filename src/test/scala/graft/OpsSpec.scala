@@ -191,6 +191,74 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.length == 1 && ex.head.getLong(1) == 1000L)
   }
 
+  test("ANN scale parameters derive from corpus size") {
+    import graft.pipeline.PipelineOps._
+    // posting list ≈ AnnTargetBucket at every n (floored at 4 planes)
+    assert(annPlanesFor(500) == 4)
+    assert(annPlanesFor(512L * 16) == 4)
+    assert(annPlanesFor(1L << 30) == 21) // 2^21 buckets → ~512/bucket
+    assert(annClustersFor(5000) == 16)
+    assert(annClustersFor(1000000) == 977)
+    assert(annClustersFor(100000000000L) == 4096) // broadcast-path cap
+  }
+
+  test("hot-bucket ANN: 3k identical vectors are fenced, no quadratic join") {
+    import spark.implicits._
+    val dim = 8
+    val same = Seq.fill(dim)(1.0f)
+    val rnd = new java.util.Random(7)
+    val distinct = (0 until 200).map(i =>
+      (3000L + i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = ((0 until 3000).map(i => (i.toLong, same)) ++ distinct)
+      .toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val lsh = graft.pipeline.PipelineOps.annLshTopKDf(spark, emb, 5, 16,
+      0, dim, maxBucket = 256).collect()
+    val ivf = graft.pipeline.PipelineOps.annIvfTopKDf(spark, emb, 5,
+      nClusters = 8, nProbe = 8, iters = 3, sampleSize = 512,
+      maxList = 256).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // identical vectors share a bucket (every LSH table) / an inverted
+    // list of size ≥ 3000 > cap → dropped, so no identical vector is
+    // ever a candidate; only the 200 distinct ones can be neighbors
+    assert(lsh.forall(_.getLong(2) >= 3000L),
+      s"lsh leaked a hot-bucket member")
+    assert(ivf.forall(_.getLong(2) >= 3000L),
+      s"ivf leaked a hot-list member")
+    // 3000²-pair stages would take far longer than this
+    assert(sec < 60.0, s"took $sec s")
+  }
+
+  test("IVF broadcast path (kC>64), probe-all == brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // 80 clusters forces the broadcast-join assignment; probing every
+    // list with no cap makes IVF candidate set = the whole corpus, so
+    // the result must EQUAL the brute-force baseline row-for-row
+    val ivf = graft.pipeline.PipelineOps.annIvfTopKDf(spark,
+      graft.pipeline.PipelineOps.embeddings(spark, sf), 5,
+      nClusters = 80, nProbe = 80, iters = 2, sampleSize = 512,
+      maxList = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF survives a corpus smaller than the cluster count") {
+    import spark.implicits._
+    val emb = (0 until 5).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 40f)))
+      .toDF("vec_id", "embedding")
+    // derived nClusters (16) > corpus (5): must clamp, not crash
+    val rows = graft.pipeline.PipelineOps.annIvfTopKDf(spark, emb, 5,
+      nClusters = 0, nProbe = 8, iters = 2, sampleSize = 0,
+      maxList = graft.pipeline.PipelineOps.AnnMaxList).collect()
+    // one query (vec_id 0), up to 4 neighbors
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) == 0L))
+  }
+
   test("point query returns tag rows for features under the point") {
     import spark.implicits._
     val docs = spark.createDataset(
