@@ -37,34 +37,51 @@ object ScalingBench {
   private[graft] def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
 
-  /** Min-merge one level's wall seconds into its level file; returns the
-    * merged min. */
+  /** Config fingerprint stamped into every level file: a stale record
+    * from an older corpus / zoom range / partitioning / plan version must
+    * never min-merge into (or compose with) the current run's evidence
+    * (ADVICE r2 #1). */
+  private[graft] def fingerprint(parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(parts.mkString("|").getBytes("UTF-8"))
+    h.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Min-merge one level's wall seconds into its level file; a previous
+    * record with a different (or missing) fingerprint is DISCARDED, not
+    * merged. Returns the merged min. */
   private[graft] def mergeLevel(dir: String, prefix: String, level: Int,
                                 secMin: Double, work: Long,
-                                unit: String): Double = {
+                                unit: String, fp: String): Double = {
     Files.createDirectories(Paths.get(dir))
     val f = Paths.get(s"$dir/${prefix}_level_$level.json")
     val prev =
       if (Files.exists(f)) {
         val s = Files.readString(f)
+        val sameFp = """"fp":"([0-9a-f]+)"""".r.findFirstMatchIn(s)
+          .exists(_.group(1) == fp)
         val m = """"sec_min":([0-9.]+)""".r.findFirstMatchIn(s)
-        m.map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+        if (sameFp) m.map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+        else Double.MaxValue
       } else Double.MaxValue
     val merged = math.min(prev, secMin)
     Files.writeString(f,
       s"""{"level":$level,"sec_min":${num(merged)},"$unit":$work,""" +
-        s""""per_sec":${num(work / merged)}}""")
+        s""""per_sec":${num(work / merged)},"fp":"$fp"}""")
     merged
   }
 
-  /** Recompose the aggregate JSON from whatever level files exist. */
+  /** Recompose the aggregate JSON from the level files that carry the
+    * current fingerprint (others are stale configurations and skipped). */
   private[graft] def compose(dir: String, prefix: String, outName: String,
-                             unit: String,
+                             unit: String, fp: String,
                              includeCalib: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val levels = Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.startsWith(s"${prefix}_level_"))
       .map(f => Files.readString(f).trim)
+      .filter(s => """"fp":"([0-9a-f]+)"""".r.findFirstMatchIn(s)
+        .exists(_.group(1) == fp))
       .toSeq
       .sortBy(s => """"level":(\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toInt).getOrElse(0))
@@ -101,11 +118,20 @@ object ScalingBench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "8,2")
       .split(',').map(_.trim.toInt).toSeq
     val zMax = sys.env.getOrElse("SPARK_GRAFT_SCALING_ZMAX", "16").toInt
+    // separate prefix → separate level files, e.g. the 2-JVM attribution
+    // experiment must not min-merge into the headline scaling record
+    val prefix = sys.env.getOrElse("SPARK_GRAFT_SCALING_PREFIX", "scaling")
     val cfg = EngineCfg.default
     val p = CorpusGen.bench.copy(nx = 240, ny = 200,
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
     val dataDir = "/root/repo/data"
+    // "pv2" = measured-plan version; bump when the pyramid job or the
+    // timing method changes so old level files can't win the min
+    val fp = fingerprint("pv2", p.toString, zMax.toString,
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
@@ -200,10 +226,10 @@ object ScalingBench {
       spark.stop()
     }
     levels.filter(samples.contains).foreach { c =>
-      mergeLevel(dataDir, "scaling", c, samples(c).min, nTiles, "tiles")
+      mergeLevel(dataDir, prefix, c, samples(c).min, nTiles, "tiles", fp)
     }
     if (samples.nonEmpty)
-      compose(dataDir, "scaling", "scaling.json", "tiles",
+      compose(dataDir, prefix, s"$prefix.json", "tiles", fp,
         includeCalib = true)
   }
 }
@@ -263,12 +289,16 @@ object CalibrateCpu {
     ts.foreach(_.start()); ts.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
     val prefix = if (mode == "stream") "calibstream" else "calib"
+    // units intentionally scale with the thread count (equal sustained
+    // duration per level), so fingerprint the PER-THREAD unit count
+    val fp = ScalingBench.fingerprint("pv2", mode,
+      (units / math.max(1, threads)).toString, chain.toString)
     println(s"[calib:$mode] threads=$threads sec=${ScalingBench.num(sec)}" +
       s" sink=${sink.get()}")
     ScalingBench.mergeLevel("/root/repo/data", prefix, threads, sec,
-      units.toLong, "units")
+      units.toLong, "units", fp)
     ScalingBench.compose("/root/repo/data", prefix,
       if (mode == "stream") "calibration_stream.json"
-      else "calibration.json", "units")
+      else "calibration.json", "units", fp)
   }
 }

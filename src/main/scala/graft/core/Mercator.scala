@@ -143,6 +143,13 @@ object TileGrid {
     * Returns packed tile ids, row-major.
     */
   def cover(z: Int, fb: BBox, extent: Int, margin: Int): Array[Long] = {
+    // the reference PARSES zoom ≤ 30 in layer configs (layer.rs:253-261)
+    // but z30 tile ids don't fit the 5+29+29-bit packing — materializing
+    // z30 must be an explicit error, never silent bit-garbage (VERDICT r2)
+    require(z >= 0 && z <= TileId.MaxZ,
+      s"zoom $z outside packed TileId range [0, ${TileId.MaxZ}]: " +
+        "z30 tiles cannot be materialized (config zoom gates may still " +
+        "say '30'; they bind only up to the requested pyramid zMax)")
     if (fb.xmin > fb.xmax || fb.ymin > fb.ymax) return Array.empty
     val span = tileSpan(z)
     val frac = margin.toDouble / extent.toDouble
@@ -161,7 +168,14 @@ object TileGrid {
     while (y0 <= y1 && !yOverlaps(z, y0, frac, fb)) y0 += 1
     while (y1 >= y0 && !yOverlaps(z, y1, frac, fb)) y1 -= 1
     if (x0 > x1 || y0 > y1) return Array.empty
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val cells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    // a continent-wide bbox at a deep zoom legitimately covers billions
+    // of tiles; that must be an explicit error (found by the z29 test:
+    // the Int cast silently produced a negative array size)
+    require(cells <= Int.MaxValue,
+      s"cover at z$z spans $cells tiles (> Int.MaxValue): bbox too " +
+        "large for this zoom — gate the layer's zoom range instead")
+    val out = new Array[Long](cells.toInt)
     var i = 0
     var yy = y0
     while (yy <= y1) {

@@ -417,12 +417,18 @@ object PipelineOps {
       }
 
     // inverted-list cap (the MaxBucket fence): degenerate piles of
-    // near-identical vectors would make the probe join quadratic
-    val keep = buckets.groupBy($"c").agg(count(lit(1)).as("lc"))
+    // near-identical vectors would make the probe join quadratic.
+    // The assignment is cached: the list-size aggregation and the probe
+    // join each scan it, and re-evaluating the nearest-centroid
+    // expression per scan doubled the op's cost. At scale this cache IS
+    // the inverted-file index build — one materialization pass over the
+    // corpus, exactly what building an IVF index means.
+    val bc = buckets.cache()
+    val keep = bc.groupBy($"c").agg(count(lit(1)).as("lc"))
       .where($"lc" <= maxList).select($"c")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
-    buckets.join(keep, Seq("c")).join(probes, Seq("c"))
+    bc.join(keep, Seq("c")).join(probes, Seq("c"))
       .where($"vec_id" =!= $"query_id")
       .withColumn("cos", dotCos($"qe", $"embedding"))
       .withColumn("rank", row_number().over(w))

@@ -255,11 +255,30 @@ object Pyramid extends Serializable {
     * pre-sorted runs feeding the same streaming assembler. Byte-identical
     * output: the merge reproduces the global (layer_rank, kind_rank, id)
     * order.
+    *
+    * Memory honesty (ADVICE r2): the salting distributes the sort CPU and
+    * the stage-1 buffers, but the FINAL merge task still receives every
+    * pre-encoded payload of its tile — O(features-per-tile) bytes in one
+    * task, on top of the O(output-bytes) assembler state. That residual
+    * is inherent to emitting one contiguous tile blob whose layers
+    * interleave features from all salts; it is bounded by the encoded
+    * payload bytes of the hottest tile (a z0 tile holds only what the
+    * config's zoom gates admit at z0, exactly as in the reference), and
+    * payloads arrive pre-varinted (~1-2 B/command), so the bound is the
+    * OUTPUT tile size ×~1, not the raw geometry size. A hierarchical
+    * per-salt pre-assembly cannot shrink it without breaking byte
+    * identity (layer buffers would have to merge mid-feature).
     */
   def tiles(spark: SparkSession, features: Dataset[Feature], cfgE: EngineCfg,
             groupName: String, fmt: String, zMin: Int, zMax: Int)
       : Dataset[TileRow] = {
     import spark.implicits._
+    // fail fast at the job boundary (TileGrid.cover would throw the same
+    // per-row, but a plan-build-time error is the friendly surface)
+    require(zMin >= 0 && zMax <= TileId.MaxZ,
+      s"pyramid zoom range [$zMin,$zMax] outside packed TileId range " +
+        s"[0, ${TileId.MaxZ}] — z30 (reference config max) cannot be " +
+        "materialized with the 5+29+29-bit packing")
     val group = cfgE.groups.find(_.name == groupName).get
     val layerRank = group.layers.map(_.name).zipWithIndex.toMap
     // split at the zoom-explode SOURCE (not a post-encode filter), so the

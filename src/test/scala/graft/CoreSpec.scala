@@ -152,6 +152,21 @@ class GridSpec extends AnyFunSuite {
       assert(TileId.unpack(TileId.pack(z, x, y)) == TileId(z, x, y))
   }
 
+  test("z30: config parses (reference max) but materializing tiles errors") {
+    // the reference ACCEPTS zoom 30 in layer configs; our packing caps
+    // materialization at z29 — covering z30 must fail loudly, not wrap
+    assert(ZoomRange.parse("30") == ZoomRange(30, 30))
+    val e = intercept[IllegalArgumentException](
+      TileGrid.cover(30, BBox(0.0, 0.0, 1.0, 1.0), 256, 8))
+    assert(e.getMessage.contains("z30"))
+    assert(TileGrid.cover(29, BBox(0.0, 0.0, 1.0, 1.0), 256, 8).nonEmpty)
+    // found by this test: a huge bbox at a deep zoom used to overflow the
+    // cover array size (negative allocation) — now an explicit error
+    val big = intercept[IllegalArgumentException](
+      TileGrid.cover(29, BBox(-1e6, -1e6, 1e6, 1e6), 256, 8))
+    assert(big.getMessage.contains("tiles"))
+  }
+
   test("cover equals brute-force bbox-overlap scan (J4 equivalence)") {
     val rnd = new java.util.Random(42)
     for (_ <- 0 until 300) {

@@ -1,22 +1,36 @@
 #!/bin/bash
 # N vs 4N scaling evidence with honest resource isolation: each level runs
 # in its own JVM pinned to exactly that many cores (taskset), so GC /
-# shuffle / codegen threads cannot borrow the other 30 cores the way plain
-# local[k] does. Levels are interleaved to neutralize the VM's sustained-
-# load throttling. Requires the feature table materialized once (the
-# ScalingBench phase-0 does this if missing).
+# shuffle / codegen threads cannot borrow the other cores the way plain
+# local[k] does. Levels are interleaved (the host's load drifts by minutes,
+# not seconds) and every run MIN-MERGES into data/scaling_level_<k>.json —
+# fingerprinted by corpus/partitioning/plan version so a stale faster
+# config can never win the min. Rerun any time; minima only improve.
+# Requires the feature table materialized once (ScalingBench phase-0 does
+# this if missing) and the jar packaged (sbt -batch package).
 set -e
 cd "$(dirname "$0")/.."
-ROUNDS=${ROUNDS:-2}
+JAR=target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
+[ -f "$JAR" ] || sbt -batch package > /dev/null
+GC="-XX:+UseParallelGC"
+runlvl() { # $1 core-list  $2 level
+  taskset -c "$1" env SPARK_GRAFT_SCALING_LEVELS="$2" \
+    SPARK_GRAFT_SCALING_ROUNDS=1 \
+    /opt/spark/bin/spark-submit --master "local[$2]" --driver-memory 32g \
+    --conf spark.ui.enabled=false \
+    --conf "spark.driver.extraJavaOptions=$GC" \
+    --class graft.ScalingBench "$JAR" 2>&1 | grep -a '\[scaling\]' || true
+}
+calib() { # $1 threads  $2 core-list
+  taskset -c "$2" env SPARK_GRAFT_CALIB_THREADS="$1" \
+    SPARK_GRAFT_CALIB_MODE="${CALIB_MODE:-alu}" \
+    SPARK_GRAFT_CALIB_UNITS=$(( $1 * 128 )) \
+    java -cp "$JAR:/opt/spark/jars/*" graft.CalibrateCpu 2>&1 |
+    grep -a calib || true
+}
+ROUNDS=${ROUNDS:-3}
 for r in $(seq 1 "$ROUNDS"); do
-  echo "=== round $r: 8 cores ==="
-  taskset -c 0-7 env SPARK_DRIVER_MEM=32g SPARK_GRAFT_SCALING_LEVELS=8 \
-    SPARK_GRAFT_SCALING_ROUNDS=1 \
-    sbt -batch "runMain graft.ScalingBench" 2>&1 |
-    grep -aE '\[scaling\]|"level"'
-  echo "=== round $r: 2 cores ==="
-  taskset -c 0-1 env SPARK_DRIVER_MEM=32g SPARK_GRAFT_SCALING_LEVELS=2 \
-    SPARK_GRAFT_SCALING_ROUNDS=1 \
-    sbt -batch "runMain graft.ScalingBench" 2>&1 |
-    grep -aE '\[scaling\]|"level"'
+  echo "=== round $r ($(date +%H:%M:%S)) ==="
+  runlvl 0-7 8; runlvl 0-3 4; runlvl 0-1 2; runlvl 0 1
+  calib 2 0-1; calib 8 0-7
 done
