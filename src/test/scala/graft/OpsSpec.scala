@@ -280,4 +280,146 @@ class OpsSpec extends AnyFunSuite {
     assert(!inHole.exists(r => r.getString(0) == "county" &&
       r.getInt(1) == 2))
   }
+
+  test("dedup clusters == independent driver union-find over the pairs") {
+    import spark.implicits._
+    // synthetic corpus with REAL near-dup clusters: 6 groups of texts
+    // differing by one word (pairs survive the band join), plus uniques
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0 until 6).flatMap { g =>
+      (0 until 4).map { v =>
+        (g * 10 + v.toLong, s"group$g $base variant$v", "en")
+      }
+    } ++ (100 until 110).map(i =>
+      (i.toLong, s"unique $i " + base.split(' ').reverse.mkString(" ") +
+        s" tail $i", "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = graft.pipeline.PipelineOps.dedupMinhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus produced no candidate pairs")
+    // independent union-find (path-halving), nothing shared with the
+    // engine's label-propagation loop
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p)
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byRoot = members.groupBy(find)
+    val keepOf = byRoot.toSeq.flatMap { case (_, ms) =>
+      val k = ms.min; ms.map(_ -> k).toSeq
+    }.toMap
+    val sizeOf = byRoot.toSeq.flatMap { case (_, ms) =>
+      ms.map(_ -> ms.length.toLong).toSeq
+    }.toMap
+    val want = docs.map(_._1).map(id =>
+      (id, keepOf.getOrElse(id, id), sizeOf.getOrElse(id, 1L))).toSet
+    val got = graft.pipeline.PipelineOps.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    // the clusters actually resolved: at least one multi-doc component
+    assert(got.exists(_._3 >= 4L), "no cluster of the 4 variants formed")
+  }
+
+  test("two-level IVF recall vs brute force ≥ 0.7 on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf2 = graft.pipeline.PipelineOps.annIvf2TopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf2).size.toDouble / exact.size
+    info(s"ivf2 recall = $recall")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("two-level IVF probe-all == brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // probing every coarse cell and every fine list with no cap makes
+    // the candidate set the whole corpus → must equal brute force
+    val ivf2 = graft.pipeline.PipelineOps.annIvf2TopKDf(spark,
+      graft.pipeline.PipelineOps.embeddings(spark, sf), 5,
+      nCoarse = 4, nFine = 8, nProbeCoarse = 4, nProbeFine = 8,
+      iters = 2, sampleSize = 512, maxList = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(ivf2 == exact)
+  }
+
+  test("two-level IVF hot-list fence: identical vectors dropped") {
+    import spark.implicits._
+    val dim = 8
+    val same = Seq.fill(dim)(1.0f)
+    val rnd = new java.util.Random(11)
+    val distinct = (0 until 200).map(i =>
+      (3000L + i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = ((0 until 3000).map(i => (i.toLong, same)) ++ distinct)
+      .toDF("vec_id", "embedding")
+    // all identical vectors share one (coarse, fine) list of size 3000 >
+    // cap → dropped; only the 200 distinct vectors can be neighbors
+    val ivf2 = graft.pipeline.PipelineOps.annIvf2TopKDf(spark, emb, 5,
+      nCoarse = 4, nFine = 4, nProbeCoarse = 4, nProbeFine = 4,
+      iters = 3, sampleSize = 512, maxList = 256).collect()
+    assert(ivf2.nonEmpty)
+    assert(ivf2.forall(_.getLong(2) >= 3000L),
+      "ivf2 leaked a hot-list member")
+  }
+
+  test("MvtDecode round-trips MvtLayer.encode structure") {
+    import graft.core.{MvtDecode, MvtFeature, MvtLayer, MvtTile}
+    val roads = new MvtLayer("roads", 256)
+    // MoveTo(1) + LineTo(2): commands 9, zz(3),zz(1), 18, 4 params
+    roads.addFeature(MvtFeature(GeomTp.Linestring,
+      Array(9L, 6L, 2L, 18L, 2L, 2L, 4L, 4L),
+      Seq("name" -> Left("main"), "lanes" -> Right(2L))))
+    roads.addFeature(MvtFeature(GeomTp.Point,
+      Array(9L, 2L, 2L), Seq("name" -> Left("poi"))))
+    val pois = new MvtLayer("pois", 256)
+    pois.addFeature(MvtFeature(GeomTp.Polygon,
+      Array(9L, 0L, 0L, 18L, 8L, 0L, 0L, 8L, 7L), Seq.empty))
+    val tile = MvtTile.assemble(Seq(roads.encode(), pois.encode()))
+    val stats = MvtDecode.decode(tile)
+    assert(stats.map(_.name) == Seq("roads", "pois"))
+    val r = stats.head
+    assert(r.nFeatures == 2 && r.nKeys == 2 && r.nValues == 3)
+    assert(r.extent == 256L && r.version == 2L && r.wellformed)
+    // feature 1: 2 commands, 6 params; feature 2: 1 command, 2 params
+    assert(r.nCommands == 3L && r.nParams == 8L)
+    val p = stats(1)
+    assert(p.nFeatures == 1 && p.nKeys == 0 && p.nValues == 0)
+    // MoveTo(1)+2 params, LineTo(2)+4 params, ClosePath → 3 cmds, 6 params
+    assert(p.nCommands == 3L && p.nParams == 6L && p.wellformed)
+    // a truncated stream is flagged, never thrown
+    val bad = MvtDecode.decode(tile.take(tile.length - 3))
+    assert(bad.exists(!_.wellformed))
+  }
+
+  test("ew_tile_lookup decode-containment invariants hold (small corpus)") {
+    val rows = SparkEntry.queries("ew_tile_lookup")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "canonical tile has no assigned layers")
+    assert(rows.exists(_.getLong(1) > 0L))
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"emitted>assigned for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"malformed commands in ${r.getString(0)}")
+      assert(r.getBoolean(4), s"bad header in ${r.getString(0)}")
+      assert(r.getLong(5) == 0L, "unexpected decoded layer")
+    }
+  }
 }

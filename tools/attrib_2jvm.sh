@@ -11,6 +11,15 @@ set -e
 cd "$(dirname "$0")/.."
 JAR=target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || sbt -batch package > /dev/null
+# ADVICE r3: both concurrent JVMs would run phase-0 and write
+# mode(overwrite) to the same feature-table path if it is missing —
+# require it materialized (run tools/scaling_taskset.sh, or any single
+# sequential ScalingBench level, once first) and fail fast otherwise.
+if [ ! -f /tmp/graft_scaling_features/_SUCCESS ]; then
+  echo "attrib_2jvm: /tmp/graft_scaling_features not materialized;" \
+       "run one sequential ScalingBench level first" >&2
+  exit 1
+fi
 GC="-XX:+UseParallelGC"
 run() { # $1 core-list  $2 prefix
   taskset -c "$1" env SPARK_GRAFT_SCALING_LEVELS=4 \

@@ -8,25 +8,29 @@
 # config can never win the min. Rerun any time; minima only improve.
 # Requires the feature table materialized once (ScalingBench phase-0 does
 # this if missing) and the jar packaged (sbt -batch package).
-set -e
+# pipefail (ADVICE r3): a crashed spark-submit must fail the round
+# visibly, not vanish through the grep pipe; a successful level always
+# prints [scaling] lines, so grep matching is part of success.
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 JAR=target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || sbt -batch package > /dev/null
-GC="-XX:+UseParallelGC"
+GC="${GC:--XX:+UseParallelGC}"
+MEM="${MEM:-32g}"
 runlvl() { # $1 core-list  $2 level
   taskset -c "$1" env SPARK_GRAFT_SCALING_LEVELS="$2" \
     SPARK_GRAFT_SCALING_ROUNDS=1 \
-    /opt/spark/bin/spark-submit --master "local[$2]" --driver-memory 32g \
+    /opt/spark/bin/spark-submit --master "local[$2]" --driver-memory "$MEM" \
     --conf spark.ui.enabled=false \
     --conf "spark.driver.extraJavaOptions=$GC" \
-    --class graft.ScalingBench "$JAR" 2>&1 | grep -a '\[scaling\]' || true
+    --class graft.ScalingBench "$JAR" 2>&1 | grep -a '\[scaling\]'
 }
 calib() { # $1 threads  $2 core-list
   taskset -c "$2" env SPARK_GRAFT_CALIB_THREADS="$1" \
     SPARK_GRAFT_CALIB_MODE="${CALIB_MODE:-alu}" \
     SPARK_GRAFT_CALIB_UNITS=$(( $1 * 128 )) \
     java -cp "$JAR:/opt/spark/jars/*" graft.CalibrateCpu 2>&1 |
-    grep -a calib || true
+    grep -a calib
 }
 ROUNDS=${ROUNDS:-3}
 for r in $(seq 1 "$ROUNDS"); do
