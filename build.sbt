@@ -37,7 +37,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // measured: ParallelGC cuts aggregate task time ~15% vs G1 on the
-  // allocation-heavy encode+shuffle stages (local[N] batch profile)
+  // allocation-heavy encode+shuffle stages (local[N] batch profile);
+  // a large FIXED young gen on top of it kills the multi-core GC-wall
+  // pathology adaptive sizing produced (7-30 s collection walls at
+  // width ≥4 vs 0.2 s serial on identical allocation — tile payloads
+  // are short-lived and must never promote)
   "-XX:+UseParallelGC",
+  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", "5g")}",
+  "-XX:-UseAdaptiveSizePolicy",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS")
   .map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -126,9 +126,10 @@ object ScalingBench {
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
     val dataDir = "/root/repo/data"
-    // "pv2" = measured-plan version; bump when the pyramid job or the
-    // timing method changes so old level files can't win the min
-    val fp = fingerprint("pv2", p.toString, zMax.toString,
+    // "pv3" = measured-plan version (pv3: RingCodec-packed cover join);
+    // bump when the pyramid job or the timing method changes so old
+    // level files can't win the min
+    val fp = fingerprint("pv3", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))
@@ -204,10 +205,26 @@ object ScalingBench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getCollectionTime).sum
       }
-      val times = (1 to 2).map { _ =>
+      // process CPU (OS-level) separates "tasks burning cores" from
+      // "tasks blocked" — task duration alone counts both the same
+      def cpuNs: Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          match {
+            case os: com.sun.management.OperatingSystemMXBean =>
+              os.getProcessCpuTime
+            case _ => 0L
+          }
+      def load1: String =
+        try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+        catch { case _: Throwable => "-1" }
+      val repsPerJvm =
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
+      val times = (1 to repsPerJvm).map { _ =>
         val l = new TaskSumListener
         spark.sparkContext.addSparkListener(l)
         val gc0 = gcMs
+        val c0 = cpuNs
         val t0 = System.nanoTime()
         nTiles = graft.tile.Pyramid
           .tiles(spark, features, cfg, "tile", "mvt", 0, zMax).count()
@@ -216,7 +233,8 @@ object ScalingBench {
         println(s"[scaling] cpus=$cpus wall=${num(w)} " +
           s"taskSec=${num(l.sum.get() / 1e3)} tasks=${l.n.get()} " +
           s"util=${num(l.sum.get() / 1e3 / (w * cpus))} " +
-          s"gcSec=${num((gcMs - gc0) / 1e3)}")
+          s"gcSec=${num((gcMs - gc0) / 1e3)} " +
+          s"cpuSec=${num((cpuNs - c0) / 1e9)} loadavg1=$load1")
         w
       }
       samples.getOrElseUpdate(cpus,

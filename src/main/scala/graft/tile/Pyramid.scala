@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.expr.GeoFunctions
-import graft.model.{Feature, Ring, TileRow}
+import graft.model.{Feature, TileRow}
 
-/** One feature row carried into the per-feature encode stage. */
+/** One feature row carried into the per-feature encode stage. `rings` is
+  * the [[RingCodec]]-packed blob — deserializing it is a byte copy, not a
+  * per-coordinate boxed object graph (see RingCodec's scaladoc). */
 final case class TileFeatRow(tile_id: Long, layer: String, kind_rank: Int,
-                             id: Long, values: Seq[String], rings: Seq[Ring])
+                             id: Long, values: Seq[String],
+                             rings: Array[Byte])
 
 /** One PRE-ENCODED feature payload: the geometry work (clip / simplify /
   * transform / command encode) is done per-feature BEFORE the shuffle, so
@@ -61,7 +64,14 @@ object Pyramid extends Serializable {
       .toDF("layer", "zmin", "zmax")
     val marginCol =
       if (fmt == "wyrm") lit(TileGrid.WyrmMargin) else mvtMarginCol($"z")
-    features.toDF()
+    // pack rings ONCE per feature, BEFORE the zoom/tile explode — every
+    // exploded row then carries bytes instead of a nested object graph
+    val packed = features
+      .map(f => (f.layer, f.kind_rank, f.id, f.values,
+        RingCodec.pack(f.rings), f.xmin, f.ymin, f.xmax, f.ymax))
+      .toDF("layer", "kind_rank", "id", "values", "rings",
+        "xmin", "ymin", "xmax", "ymax")
+    packed
       .join(broadcast(meta), Seq("layer"))
       .where($"zmin" <= zMax && $"zmax" >= zMin)
       .withColumn("z",
@@ -85,8 +95,9 @@ object Pyramid extends Serializable {
     val layer = group.layers(rank)
     val tid = TileId.unpack(r.tile_id)
     val tcfg = TileCfg(tid, cfgE.tileExtent, marginFor(fmt, tid.z))
+    val rings = RingCodec.unpack(r.rings)
     if (fmt == "mvt") {
-      val cmds = Encode.mvtGeometry(layer.geomTp, r.rings, tcfg)
+      val cmds = Encode.mvtGeometry(layer.geomTp, rings, tcfg)
       if (cmds.isEmpty) None
       else {
         val gw = new ProtoWriter
@@ -98,12 +109,12 @@ object Pyramid extends Serializable {
     } else {
       val rendered: Option[(String, Boolean)] = layer.geomTp match {
         case GeomTp.Point =>
-          Some((Encode.wyrmPoint(layer, r.values, r.rings, tcfg), true))
+          Some((Encode.wyrmPoint(layer, r.values, rings, tcfg), true))
         case GeomTp.Linestring =>
-          Encode.wyrmLinestring(layer, group.osm, r.values, r.rings, tcfg)
+          Encode.wyrmLinestring(layer, group.osm, r.values, rings, tcfg)
             .map((_, true))
         case GeomTp.Polygon =>
-          Encode.wyrmPolygon(layer, group.osm, r.values, r.rings, tcfg)
+          Encode.wyrmPolygon(layer, group.osm, r.values, rings, tcfg)
             .map((_, true))
       }
       rendered.map { case (content, found) =>

@@ -20,7 +20,7 @@ if [ ! -f /tmp/graft_scaling_features/_SUCCESS ]; then
        "run one sequential ScalingBench level first" >&2
   exit 1
 fi
-GC="-XX:+UseParallelGC"
+GC="${GC:--XX:+UseParallelGC -Xmn24g -XX:-UseAdaptiveSizePolicy}"
 run() { # $1 core-list  $2 prefix
   taskset -c "$1" env SPARK_GRAFT_SCALING_LEVELS=4 \
     SPARK_GRAFT_SCALING_ROUNDS=1 SPARK_GRAFT_SCALING_PREFIX="$2" \
