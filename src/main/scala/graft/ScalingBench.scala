@@ -126,10 +126,11 @@ object ScalingBench {
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
     val dataDir = "/root/repo/data"
-    // "pv3" = measured-plan version (pv3: RingCodec-packed cover join);
-    // bump when the pyramid job or the timing method changes so old
-    // level files can't win the min
-    val fp = fingerprint("pv3", p.toString, zMax.toString,
+    // "pv4" = measured-plan version (pv3: RingCodec-packed rings; pv4:
+    // whole-feature packFeat blob + layer-rank int rows); bump when the
+    // pyramid job or the timing method changes so old level files can't
+    // win the min
+    val fp = fingerprint("pv4", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))

@@ -9,12 +9,14 @@ import graft.core._
 import graft.expr.GeoFunctions
 import graft.model.{Feature, TileRow}
 
-/** One feature row carried into the per-feature encode stage. `rings` is
-  * the [[RingCodec]]-packed blob — deserializing it is a byte copy, not a
-  * per-coordinate boxed object graph (see RingCodec's scaladoc). */
-final case class TileFeatRow(tile_id: Long, layer: String, kind_rank: Int,
-                             id: Long, values: Seq[String],
-                             rings: Array[Byte])
+/** One feature row carried into the per-feature encode stage. The layer
+  * travels as its config RANK (int — the per-row string is gone) and tag
+  * values + rings travel as ONE [[RingCodec.packFeat]] blob, so the
+  * exploded row deserializes as primitives + a byte copy instead of a
+  * boxed object graph per row (see RingCodec's scaladoc). */
+final case class TileFeatRow(tile_id: Long, layer_rank: Int,
+                             kind_rank: Int, id: Long,
+                             packed: Array[Byte])
 
 /** One PRE-ENCODED feature payload: the geometry work (clip / simplify /
   * transform / command encode) is done per-feature BEFORE the shuffle, so
@@ -60,16 +62,19 @@ object Pyramid extends Serializable {
                 group: LayerGroup, extent: Int, fmt: String,
                 zMin: Int, zMax: Int): Dataset[TileFeatRow] = {
     import spark.implicits._
-    val meta = group.layers.map(l => (l.name, l.zoom.zmin, l.zoom.zmax))
-      .toDF("layer", "zmin", "zmax")
+    val meta = group.layers.zipWithIndex
+      .map { case (l, rank) => (l.name, rank, l.zoom.zmin, l.zoom.zmax) }
+      .toDF("layer", "layer_rank", "zmin", "zmax")
     val marginCol =
       if (fmt == "wyrm") lit(TileGrid.WyrmMargin) else mvtMarginCol($"z")
-    // pack rings ONCE per feature, BEFORE the zoom/tile explode — every
-    // exploded row then carries bytes instead of a nested object graph
+    // pack values + rings ONCE per feature, BEFORE the zoom/tile explode
+    // — every exploded row then carries primitives and one byte blob
+    // instead of a nested object graph
     val packed = features
-      .map(f => (f.layer, f.kind_rank, f.id, f.values,
-        RingCodec.pack(f.rings), f.xmin, f.ymin, f.xmax, f.ymax))
-      .toDF("layer", "kind_rank", "id", "values", "rings",
+      .map(f => (f.layer, f.kind_rank, f.id,
+        RingCodec.packFeat(f.values, f.rings),
+        f.xmin, f.ymin, f.xmax, f.ymax))
+      .toDF("layer", "kind_rank", "id", "packed",
         "xmin", "ymin", "xmax", "ymax")
     packed
       .join(broadcast(meta), Seq("layer"))
@@ -80,41 +85,39 @@ object Pyramid extends Serializable {
       .withColumn("tile_id",
         explode(GeoFunctions.tileCover($"z", $"xmin", $"ymin", $"xmax",
           $"ymax", marginCol, lit(extent))))
-      .select($"tile_id", $"layer", $"kind_rank", $"id", $"values",
-        $"rings")
+      .select($"tile_id", $"layer_rank", $"kind_rank", $"id", $"packed")
       .as[TileFeatRow]
   }
 
   /** Per-feature encode (map-side, pre-shuffle). Returns None when the
     * feature is elided for this tile (empty MVT geometry / wyrm not
     * contained). */
-  def encodeFeature(cfgE: EngineCfg, group: LayerGroup, fmt: String,
-                    layerRank: Map[String, Int])(r: TileFeatRow)
-      : Option[FeatPayload] = {
-    val rank = layerRank(r.layer)
+  def encodeFeature(cfgE: EngineCfg, group: LayerGroup, fmt: String)
+                   (r: TileFeatRow): Option[FeatPayload] = {
+    val rank = r.layer_rank
     val layer = group.layers(rank)
     val tid = TileId.unpack(r.tile_id)
     val tcfg = TileCfg(tid, cfgE.tileExtent, marginFor(fmt, tid.z))
-    val rings = RingCodec.unpack(r.rings)
+    val (values, rings) = RingCodec.unpackFeat(r.packed)
     if (fmt == "mvt") {
       val cmds = Encode.mvtGeometry(layer.geomTp, rings, tcfg)
       if (cmds.isEmpty) None
       else {
         val gw = new ProtoWriter
         cmds.foreach(gw.writeVarint)
-        val tags = Encode.mvtTagIdx(layer, r.values)
+        val tags = Encode.mvtTagIdx(layer, values)
         Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id, gw.toBytes,
           tags.map(_._1), tags.map(_._2), "", found = true))
       }
     } else {
       val rendered: Option[(String, Boolean)] = layer.geomTp match {
         case GeomTp.Point =>
-          Some((Encode.wyrmPoint(layer, r.values, rings, tcfg), true))
+          Some((Encode.wyrmPoint(layer, values, rings, tcfg), true))
         case GeomTp.Linestring =>
-          Encode.wyrmLinestring(layer, group.osm, r.values, rings, tcfg)
+          Encode.wyrmLinestring(layer, group.osm, values, rings, tcfg)
             .map((_, true))
         case GeomTp.Polygon =>
-          Encode.wyrmPolygon(layer, group.osm, r.values, rings, tcfg)
+          Encode.wyrmPolygon(layer, group.osm, values, rings, tcfg)
             .map((_, true))
       }
       rendered.map { case (content, found) =>
@@ -291,14 +294,13 @@ object Pyramid extends Serializable {
         s"[0, ${TileId.MaxZ}] — z30 (reference config max) cannot be " +
         "materialized with the 5+29+29-bit packing")
     val group = cfgE.groups.find(_.name == groupName).get
-    val layerRank = group.layers.map(_.name).zipWithIndex.toMap
     // split at the zoom-explode SOURCE (not a post-encode filter), so the
     // expensive per-feature encode runs exactly once per (feature, tile)
     // — a shared `enc` scanned by two filtered branches would recompute
     // the whole encode lineage per branch
     def enc(lo: Int, hi: Int) =
       coverJoin(spark, features, group, cfgE.tileExtent, fmt, lo, hi)
-        .flatMap(encodeFeature(cfgE, group, fmt, layerRank) _)
+        .flatMap(encodeFeature(cfgE, group, fmt) _)
 
     def assemble(tid: Long, it: Iterator[FeatPayload]) =
       assembleSorted(cfgE, group, fmt, groupName, tid, it)

@@ -41,8 +41,10 @@ object RingCodec {
     bb.array()
   }
 
-  def unpack(b: Array[Byte]): Array[Ring] = {
-    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+  def unpack(b: Array[Byte]): Array[Ring] = unpackRings(
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+
+  private def unpackRings(bb: ByteBuffer): Array[Ring] = {
     val nr = bb.getInt
     val out = new Array[Ring](nr)
     var r = 0
@@ -59,5 +61,54 @@ object RingCodec {
       r += 1
     }
     out
+  }
+
+  // ---- whole-feature payload: tag values + rings in ONE blob ----
+  // The per-row `values: Seq[String]` deserialization was the next
+  // UTF8String.getBytes/fromBytes hotspot after the rings (same
+  // MapObjects-per-row shape); packing both sides into a single byte
+  // column leaves the exploded row with primitives only.
+  // Layout: [nVals:i32][per val: len:i32 (-1 = null) + utf8 bytes]
+  // then the ring block of [[pack]].
+
+  def packFeat(values: Seq[String], rings: Seq[Ring]): Array[Byte] = {
+    val utf = values.map(v => if (v == null) null else v.getBytes("UTF-8"))
+    var bytes = 4 + 4
+    utf.foreach(u => bytes += 4 + (if (u == null) 0 else u.length))
+    rings.foreach(r => bytes += 5 + 16 * r.xs.length)
+    val bb = ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(utf.length)
+    utf.foreach { u =>
+      if (u == null) bb.putInt(-1)
+      else { bb.putInt(u.length); bb.put(u) }
+    }
+    bb.putInt(rings.length)
+    rings.foreach { r =>
+      bb.put(if (r.outer) 1.toByte else 0.toByte)
+      bb.putInt(r.xs.length)
+      var i = 0
+      while (i < r.xs.length) { bb.putDouble(r.xs(i)); i += 1 }
+      i = 0
+      while (i < r.ys.length) { bb.putDouble(r.ys(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  /** (tag values with nulls, rings) from a [[packFeat]] blob. */
+  def unpackFeat(b: Array[Byte]): (Array[String], Array[Ring]) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val nv = bb.getInt
+    val vals = new Array[String](nv)
+    var i = 0
+    while (i < nv) {
+      val len = bb.getInt
+      if (len >= 0) {
+        val u = new Array[Byte](len)
+        bb.get(u)
+        vals(i) = new String(u, "UTF-8")
+      }
+      i += 1
+    }
+    (vals, unpackRings(bb))
   }
 }
