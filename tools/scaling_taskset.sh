@@ -37,8 +37,20 @@ calib() { # $1 threads  $2 core-list
     grep -a calib
 }
 ROUNDS=${ROUNDS:-3}
+# Rotate the level order between rounds: with a fixed 8→4→2→1 order the
+# widest level ALWAYS runs right after the previous round's sustained
+# usage, and this hypervisor visibly throttles by recent usage — a fixed
+# order systematically hands the wide levels the worst windows (observed:
+# L8 warm cpuSec 2-3× its quiet value round after round while L4, minutes
+# later in the same rounds, sat near its floor).
+ORDERS=("8 4 2 1" "1 8 4 2" "2 1 8 4" "4 2 1 8")
 for r in $(seq 1 "$ROUNDS"); do
-  echo "=== round $r ($(date +%H:%M:%S)) ==="
-  runlvl 0-7 8; runlvl 0-3 4; runlvl 0-1 2; runlvl 0 1
+  order=${ORDERS[$(( ( $(date +%s) / 60 + r ) % 4 ))]}
+  echo "=== round $r ($(date +%H:%M:%S)) order: $order ==="
+  for lvl in $order; do
+    case $lvl in
+      8) runlvl 0-7 8;; 4) runlvl 0-3 4;; 2) runlvl 0-1 2;; 1) runlvl 0 1;;
+    esac
+  done
   calib 2 0-1; calib 8 0-7
 done
