@@ -84,6 +84,76 @@ object SparkEntry {
     if (p.equal) s"$v IN $set" else s"$v NOT IN $set"
   }
 
+  // ------------------- edge-multiset fingerprint (ew_features oracle) ----
+  //
+  // Ring stitching (RingAssembly, reference osm.rs:310-357) is greedy and
+  // order-sensitive, but three invariants make its OUTPUT SQL-derivable:
+  //  (1) a relation is dropped iff stitching strands an open way, which
+  //      happens iff some endpoint-graph vertex has ODD degree (parity: a
+  //      terminal open chain would need a second chain-end at its endpoint,
+  //      which connect_ways would have merged — pinned by a property test
+  //      in OracleSpec against random way-multigraphs);
+  //  (2) the undirected EDGE multiset of the stitched rings equals the
+  //      union of the member ways' consecutive-node edges (stitching only
+  //      concatenates/reverses, never creates or drops an edge);
+  //  (3) when every endpoint vertex has degree ≤ 2 the cycle partition is
+  //      unique, so ring count = connected components of the endpoint
+  //      graph and each ring's role = role of its max-pos member (rings
+  //      pop exactly when their last member arrives). Degree > 2 makes the
+  //      partition order-dependent → those counts are null-gated on BOTH
+  //      sides (the corpus has none; the gate keeps the oracle honest).
+  //
+  // The fingerprint is a sum over undirected edges of a canonicalized
+  // positional hash of the two endpoints' QUANTIZED WebMercator coords
+  // (floor(c·1000): exact on bit-identical doubles, which f1_mercator
+  // pins between Spark and DuckDB). Identical integer arithmetic on both
+  // sides — any ring-assembly defect that moves/loses/invents an edge
+  // flips the sum.
+  private val FpP = 2147483647L // 2^31−1
+  private val FpOff = 68719476736L // 2^36: shifts quantized coords positive
+
+  private def fpQ(c: Column): Column =
+    (floor(c * lit(1000.0)).cast("long") + lit(FpOff)) % lit(FpP)
+
+  private def edgeHashCol(ax: Column, ay: Column,
+                          bx: Column, by: Column): Column = {
+    val qax = fpQ(ax); val qay = fpQ(ay)
+    val qbx = fpQ(bx); val qby = fpQ(by)
+    val fwd = qax < qbx || (qax === qbx && qay <= qby)
+    val a1 = when(fwd, qax).otherwise(qbx)
+    val a2 = when(fwd, qay).otherwise(qby)
+    val b1 = when(fwd, qbx).otherwise(qax)
+    val b2 = when(fwd, qby).otherwise(qay)
+    (a1 * lit(1000003L) + a2 * lit(10007L) + b1 * lit(101L) + b2) %
+      lit(FpP)
+  }
+
+  /** Σ edge-hash over all consecutive ring-coordinate pairs, mod FpP. */
+  private def ringsEdgeFp(rings: Column): Column = {
+    def perRing(r: Column): Column =
+      when(size(r("xs")) >= 2,
+        aggregate(sequence(lit(1), size(r("xs")) - 1), lit(0L),
+          (acc, i) => acc + edgeHashCol(
+            element_at(r("xs"), i), element_at(r("ys"), i),
+            element_at(r("xs"), i + 1), element_at(r("ys"), i + 1))))
+        .otherwise(lit(0L))
+    aggregate(rings, lit(0L), (acc, r) => acc + perRing(r)) % lit(FpP)
+  }
+
+  private def fpQSql(e: String): String =
+    s"((CAST(floor(($e) * 1000.0) AS BIGINT) + $FpOff) % $FpP)"
+
+  /** SQL mirror of [[edgeHashCol]] — same canonical order, same arithmetic. */
+  private def edgeHashSql(ax: String, ay: String,
+                          bx: String, by: String): String = {
+    val qax = fpQSql(ax); val qay = fpQSql(ay)
+    val qbx = fpQSql(bx); val qby = fpQSql(by)
+    s"""(CASE WHEN $qax < $qbx OR ($qax = $qbx AND $qay <= $qby)
+         THEN $qax * 1000003 + $qay * 10007 + $qbx * 101 + $qby
+         ELSE $qbx * 1000003 + $qby * 10007 + $qax * 101 + $qay
+         END % $FpP)"""
+  }
+
   // ------------------------------------------------- synthetic geo columns
 
   /** Deterministic world-spread lon/lat from an integer key — identical
@@ -158,6 +228,221 @@ object SparkEntry {
           WHERE ((ty1 - span) - fr * (ty1 - (ty1 - span))) <= ymax
             AND (ty1 + fr * (ty1 - (ty1 - span))) >= ymin)
      """
+  }
+
+  /** Full-dig oracle for `ew_features`: re-derives every feature row —
+    * layer match, transitive relation closure, dependency ways/nodes,
+    * way-polygon quirk, and relation ring stitching reduced to its
+    * SQL-derivable invariants (see the edge-fp comment block) — from the
+    * raw interleaved docs in pure DuckDB SQL. */
+  private def ewFeaturesSql: String = {
+    def cond(l: LayerDef): String = {
+      val ps = l.patterns.filter(_.mustMatch).map(patternSql)
+      if (ps.isEmpty) "TRUE" else ps.mkString(" AND ")
+    }
+    def branches(layers: Seq[LayerDef], from: String): String =
+      if (layers.isEmpty) "SELECT NULL AS layer, NULL AS id WHERE FALSE"
+      else layers.map(l =>
+        s"SELECT ${sqlQ(l.name)} AS layer, id FROM $from WHERE ${cond(l)}")
+        .mkString(" UNION ALL ")
+    def inList(layers: Seq[LayerDef]): String =
+      layers.map(l => sqlQ(l.name)).mkString("(", ", ", ")")
+    val nonPoly = osmLayers.filter(_.geomTp != GeomTp.Polygon)
+    val pointL = osmLayers.filter(_.geomTp == GeomTp.Point)
+    val lineL = osmLayers.filter(_.geomTp == GeomTp.Linestring)
+    val polyL = osmLayers.filter(_.geomTp == GeomTp.Polygon)
+    val eh = edgeHashSql("x", "y", "x2", "y2")
+    val lonE = "CAST(string_split(coords[1].text, ' ')[2] AS DOUBLE)"
+    val latE = "CAST(string_split(coords[1].text, ' ')[1] AS DOUBLE)"
+    s"""WITH RECURSIVE docs AS (SELECT * FROM
+          read_parquet('$EwDocsSmall/*.parquet')),
+        ents AS (SELECT
+          string_split(list_filter(spans,
+            s -> s.kind = 'meta')[1].text, ' ') AS meta,
+          list_transform(list_filter(spans, s -> s.kind = 'ref'),
+            s -> CAST(s.text AS BIGINT)) AS refs,
+          list_transform(list_filter(spans, s -> s.kind = 'tag'),
+            s -> s.text) AS kvs,
+          list_transform(list_filter(spans, s -> s.kind = 'member'),
+            s -> s.text) AS mems,
+          list_filter(spans, s -> s.kind = 'coord') AS coords
+          FROM docs),
+        nodes AS (SELECT CAST(meta[2] AS BIGINT) AS id, kvs,
+          ${mercXSql(lonE)} AS x, ${mercYSql(latE)} AS y
+          FROM ents WHERE meta[1] = 'node'),
+        ways AS (SELECT CAST(meta[2] AS BIGINT) AS id, refs, kvs
+          FROM ents WHERE meta[1] = 'way'),
+        rels AS (SELECT CAST(meta[2] AS BIGINT) AS id, kvs, mems
+          FROM ents WHERE meta[1] = 'relation'),
+        relmem0 AS (SELECT id AS rel_id,
+            unnest(generate_series(1, len(mems))) AS pos,
+            unnest(mems) AS mt FROM rels),
+        relmem AS (SELECT rel_id, pos,
+            string_split(mt, ' ')[1] AS role,
+            string_split(mt, ' ')[2] AS ref_kind,
+            CAST(string_split(mt, ' ')[3] AS BIGINT) AS ref_id
+          FROM relmem0),
+        mn AS (${branches(nonPoly, "nodes")}),
+        mw AS (${branches(osmLayers, "ways")}),
+        mr AS (${branches(osmLayers, "rels")}),
+        maprels AS (SELECT layer, id FROM mr
+          UNION
+          SELECT p.layer, m.ref_id AS id FROM maprels p
+            JOIN relmem m ON m.rel_id = p.id AND m.ref_kind = 'relation'
+            JOIN rels r ON r.id = m.ref_id),
+        mapways AS (SELECT DISTINCT layer, id FROM (
+            SELECT layer, id FROM mw
+            UNION ALL
+            SELECT p.layer, m.ref_id AS id FROM maprels p
+              JOIN relmem m ON m.rel_id = p.id AND m.ref_kind = 'way'
+              JOIN ways w ON w.id = m.ref_id)),
+        mapnodes AS (SELECT DISTINCT layer, id FROM (
+            SELECT layer, id FROM mn
+            UNION ALL
+            SELECT mwy.layer, wr.nid AS id FROM mapways mwy
+              JOIN (SELECT id AS wid, unnest(refs) AS nid FROM ways) wr
+                ON wr.wid = mwy.id
+              JOIN nodes n ON n.id = wr.nid
+            UNION ALL
+            SELECT p.layer, m.ref_id AS id FROM maprels p
+              JOIN relmem m ON m.rel_id = p.id AND m.ref_kind = 'node'
+              JOIN nodes n ON n.id = m.ref_id)),
+        wx AS (SELECT id, unnest(generate_series(1, len(refs))) AS rpos,
+            unnest(refs) AS nid FROM ways WHERE len(refs) > 0),
+        wn AS (SELECT wx.id, wx.rpos, n.x, n.y
+          FROM wx LEFT JOIN nodes n ON n.id = wx.nid),
+        wedge AS (SELECT id, x, y,
+            lead(x) OVER w AS x2, lead(y) OVER w AS y2
+          FROM wn WINDOW w AS (PARTITION BY id ORDER BY rpos)),
+        wstat AS (SELECT id, count(*) AS n_raw,
+            sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_missing,
+            min(x) AS bxmin, min(y) AS bymin,
+            max(x) AS bxmax, max(y) AS bymax,
+            coalesce(sum(CASE WHEN x2 IS NULL OR x IS NULL THEN 0
+              ELSE $eh END), 0) % $FpP AS efp
+          FROM wedge GROUP BY id),
+        pf AS (SELECT mn2.layer, 0 AS kind_rank, mn2.id,
+            1 AS n_rings, 1 AS n_outer, 1 AS n_pts, 0 AS edge_fp,
+            round(n.x, 3) AS xmin_r, round(n.y, 3) AS ymin_r,
+            round(n.x, 3) AS xmax_r, round(n.y, 3) AS ymax_r
+          FROM mapnodes mn2 JOIN nodes n ON n.id = mn2.id
+          WHERE mn2.layer IN ${inList(pointL)}),
+        lwf AS (SELECT mwy.layer, mwy.id,
+            CASE WHEN ws.n_missing > 0 THEN 0 ELSE ws.n_raw END AS n_pts,
+            CASE WHEN ws.n_missing > 0 THEN 0 ELSE ws.efp END AS edge_fp,
+            CASE WHEN ws.n_missing > 0 THEN NULL
+              ELSE round(ws.bxmin, 3) END AS xmin_r,
+            CASE WHEN ws.n_missing > 0 THEN NULL
+              ELSE round(ws.bymin, 3) END AS ymin_r,
+            CASE WHEN ws.n_missing > 0 THEN NULL
+              ELSE round(ws.bxmax, 3) END AS xmax_r,
+            CASE WHEN ws.n_missing > 0 THEN NULL
+              ELSE round(ws.bymax, 3) END AS ymax_r
+          FROM mapways mwy JOIN wstat ws ON ws.id = mwy.id),
+        lf AS (SELECT layer, 1 AS kind_rank, id, 1 AS n_rings,
+            1 AS n_outer, n_pts, edge_fp, xmin_r, ymin_r, xmax_r, ymax_r
+          FROM lwf WHERE layer IN ${inList(lineL)}),
+        wpf AS (SELECT l.layer, 1 AS kind_rank, l.id, 1 AS n_rings,
+            1 AS n_outer, l.n_pts, l.edge_fp,
+            l.xmin_r, l.ymin_r, l.xmax_r, l.ymax_r
+          FROM lwf l JOIN ways w ON w.id = l.id
+          WHERE l.layer IN ${inList(polyL)}
+            AND len(w.refs) > 1 AND w.refs[1] = w.refs[len(w.refs)]),
+        mrp AS (SELECT layer, id AS rel_id FROM mr
+          WHERE layer IN ${inList(polyL)}),
+        pw AS (SELECT mrp.layer, mrp.rel_id, m.pos, m.role,
+            w.id AS way_id, w.refs
+          FROM mrp JOIN relmem m ON m.rel_id = mrp.rel_id
+            AND m.ref_kind = 'way' AND m.role IN ('outer', 'inner')
+          JOIN ways w ON w.id = m.ref_id
+          WHERE len(w.refs) > 1),
+        pend AS (SELECT layer, rel_id, pos, role,
+            refs[1] AS u, refs[len(refs)] AS v FROM pw),
+        dg AS (SELECT layer, rel_id, nd, count(*) AS dg FROM (
+            SELECT layer, rel_id, u AS nd FROM pend
+            UNION ALL SELECT layer, rel_id, v AS nd FROM pend)
+          GROUP BY 1, 2, 3),
+        relstat AS (SELECT layer, rel_id, max(dg) AS maxdeg,
+            max(dg % 2) AS anyodd FROM dg GROUP BY 1, 2),
+        relkept AS (SELECT mrp.layer, mrp.rel_id,
+            coalesce(rs.maxdeg, 0) AS maxdeg
+          FROM mrp LEFT JOIN relstat rs ON rs.layer = mrp.layer
+            AND rs.rel_id = mrp.rel_id
+          WHERE coalesce(rs.anyodd, 0) = 0),
+        redgeb AS (SELECT layer, rel_id, u, v FROM pend
+          UNION ALL SELECT layer, rel_id, v AS u, u AS v FROM pend),
+        rvert AS (SELECT DISTINCT layer, rel_id, u AS nd FROM redgeb),
+        comp AS (SELECT layer, rel_id, nd, nd AS lbl FROM rvert
+          UNION
+          SELECT c.layer, c.rel_id, e.v AS nd, c.lbl FROM comp c
+            JOIN redgeb e ON e.layer = c.layer AND e.rel_id = c.rel_id
+              AND e.u = c.nd),
+        complbl AS (SELECT layer, rel_id, nd, min(lbl) AS lbl
+          FROM comp GROUP BY 1, 2, 3),
+        ncomp AS (SELECT layer, rel_id, count(DISTINCT lbl) AS n_rings
+          FROM complbl GROUP BY 1, 2),
+        nouter AS (SELECT layer, rel_id,
+            sum(CASE WHEN arole = 'outer' THEN 1 ELSE 0 END) AS n_outer
+          FROM (SELECT p.layer, p.rel_id, c.lbl,
+              arg_max(p.role, p.pos) AS arole
+            FROM pend p JOIN complbl c ON c.layer = p.layer
+              AND c.rel_id = p.rel_id AND c.nd = p.u
+            GROUP BY 1, 2, 3)
+          GROUP BY 1, 2),
+        px AS (SELECT layer, rel_id, pos,
+            unnest(generate_series(1, len(refs))) AS rpos,
+            unnest(refs) AS nid FROM pw),
+        pn AS (SELECT px.layer, px.rel_id, px.pos, px.rpos, n.x, n.y
+          FROM px LEFT JOIN nodes n ON n.id = px.nid),
+        pedge AS (SELECT layer, rel_id, x, y,
+            lead(x) OVER pw2 AS x2, lead(y) OVER pw2 AS y2
+          FROM pn WINDOW pw2 AS (PARTITION BY layer, rel_id, pos
+            ORDER BY rpos)),
+        relagg AS (SELECT layer, rel_id,
+            sum(CASE WHEN x2 IS NULL THEN 0 ELSE 1 END) AS n_edges,
+            sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_missing,
+            min(x) AS bxmin, min(y) AS bymin,
+            max(x) AS bxmax, max(y) AS bymax,
+            coalesce(sum(CASE WHEN x2 IS NULL OR x IS NULL THEN 0
+              ELSE $eh END), 0) % $FpP AS efp
+          FROM pedge GROUP BY 1, 2),
+        rf AS (SELECT rk.layer, 2 AS kind_rank, rk.rel_id AS id,
+            CASE WHEN rk.maxdeg <= 2
+              THEN coalesce(nc.n_rings, 0) END AS n_rings,
+            CASE WHEN rk.maxdeg <= 2
+              THEN coalesce(no.n_outer, 0) END AS n_outer,
+            CASE WHEN rk.maxdeg <= 2 AND coalesce(ra.n_missing, 0) = 0
+              THEN coalesce(ra.n_edges, 0) + coalesce(nc.n_rings, 0)
+              END AS n_pts,
+            CASE WHEN coalesce(ra.n_missing, 0) = 0
+              THEN coalesce(ra.efp, 0) END AS edge_fp,
+            CASE WHEN coalesce(ra.n_missing, 0) = 0
+                AND coalesce(nc.n_rings, 0) > 0
+              THEN round(ra.bxmin, 3) END AS xmin_r,
+            CASE WHEN coalesce(ra.n_missing, 0) = 0
+                AND coalesce(nc.n_rings, 0) > 0
+              THEN round(ra.bymin, 3) END AS ymin_r,
+            CASE WHEN coalesce(ra.n_missing, 0) = 0
+                AND coalesce(nc.n_rings, 0) > 0
+              THEN round(ra.bxmax, 3) END AS xmax_r,
+            CASE WHEN coalesce(ra.n_missing, 0) = 0
+                AND coalesce(nc.n_rings, 0) > 0
+              THEN round(ra.bymax, 3) END AS ymax_r
+          FROM relkept rk
+          LEFT JOIN ncomp nc ON nc.layer = rk.layer
+            AND nc.rel_id = rk.rel_id
+          LEFT JOIN nouter no ON no.layer = rk.layer
+            AND no.rel_id = rk.rel_id
+          LEFT JOIN relagg ra ON ra.layer = rk.layer
+            AND ra.rel_id = rk.rel_id)
+        SELECT layer, CAST(kind_rank AS INTEGER) AS kind_rank, id,
+          CAST(n_rings AS BIGINT) AS n_rings,
+          CAST(n_outer AS BIGINT) AS n_outer,
+          CAST(n_pts AS BIGINT) AS n_pts,
+          CAST(edge_fp AS BIGINT) AS edge_fp,
+          xmin_r, ymin_r, xmax_r, ymax_r
+        FROM (SELECT * FROM pf UNION ALL SELECT * FROM lf
+          UNION ALL SELECT * FROM wpf UNION ALL SELECT * FROM rf)"""
   }
 
   private val MvtMarginSql =
@@ -443,12 +728,66 @@ object SparkEntry {
       ways.join(nodes, Seq("node_id"))
         .select($"way_id", $"pos", $"node_id", $"x", $"y")
     }),
-    // ---- engine E2E, oracle-verified in sbt test (rows-only here) ----
+    // ---- the full dig output (points, lines, way- and relation-polygons)
+    //      reduced to SQL-derivable invariants: ring/outer counts (graph
+    //      components of the member-way endpoint graph), point counts,
+    //      the undirected ring-edge-multiset fingerprint, and the bbox.
+    //      Ring VERTEX ORDER stays byte-exact-checked in the sbt oracle
+    //      suite; this row makes stitching itself driver-oracled
+    //      (VERDICT r3: ew_features was the last engine no_oracle). ----
     "ew_features" -> ((s, d) => {
       import s.implicits._
-      ewFeatures(s, d).toDF()
-        .select($"layer", $"kind_rank", $"id", size($"rings").as("n_rings"),
-          round($"xmin", 3).as("xmin_r"), round($"ymax", 3).as("ymax_r"))
+      val f = ewFeatures(s, d).toDF()
+      // gates from the entity table: relations whose participating ways
+      // (role outer/inner, in-corpus, >1 node) have a degree->2 vertex or
+      // a missing node get order-dependent / coordinate-less fields
+      // null-gated, mirroring the oracle (see edge-fp comment above).
+      val ents = Extract.entities(ewDocs(s, d))
+      val polyDefs = osmLayers.filter(_.geomTp == GeomTp.Polygon)
+      val mrels = Dig.matched(ents, polyDefs)
+        .where($"entity_kind" === "relation")
+        .select($"layer".as("glayer"), $"id".as("rel_id"),
+          explode($"members").as("mm"))
+      val waysT = ents.where($"entity_kind" === "way")
+        .select($"id".as("way_id"), $"node_refs")
+      val nodeIds = ents.where($"entity_kind" === "node")
+        .select($"id".as("nid"))
+      val pw = mrels
+        .where($"mm.ref_kind" === "way" &&
+          $"mm.role".isin("outer", "inner"))
+        .select($"glayer", $"rel_id", $"mm.ref_id".as("way_id"))
+        .join(waysT, Seq("way_id"))
+        .where(size($"node_refs") > 1)
+      val missing = pw
+        .select($"glayer", $"rel_id", explode($"node_refs").as("nid"))
+        .join(nodeIds, Seq("nid"), "left_anti")
+        .select($"glayer", $"rel_id").distinct()
+        .withColumn("anym", lit(true))
+      val gates = pw
+        .select($"glayer", $"rel_id", explode(array(
+          element_at($"node_refs", 1),
+          element_at($"node_refs", size($"node_refs")))).as("nd"))
+        .groupBy($"glayer", $"rel_id", $"nd")
+        .agg(count(lit(1)).as("dg"))
+        .groupBy($"glayer", $"rel_id").agg(max($"dg").as("maxdeg"))
+        .join(missing, Seq("glayer", "rel_id"), "left")
+      val j = f.join(gates,
+        f("layer") === gates("glayer") && f("id") === gates("rel_id") &&
+          f("kind_rank") === lit(2), "left")
+      val degOk = coalesce($"maxdeg" <= 2, lit(true))
+      val anyM = coalesce($"anym", lit(false))
+      j.select($"layer", $"kind_rank", $"id",
+        when(degOk, size($"rings").cast("long")).as("n_rings"),
+        when(degOk, size(filter($"rings", r => r("outer"))).cast("long"))
+          .as("n_outer"),
+        when(degOk && !anyM,
+          aggregate($"rings", lit(0L),
+            (acc, r) => acc + size(r("xs")).cast("long"))).as("n_pts"),
+        when(!anyM, ringsEdgeFp($"rings")).as("edge_fp"),
+        when(!anyM && $"xmin" <= $"xmax", round($"xmin", 3)).as("xmin_r"),
+        when(!anyM && $"xmin" <= $"xmax", round($"ymin", 3)).as("ymin_r"),
+        when(!anyM && $"xmin" <= $"xmax", round($"xmax", 3)).as("xmax_r"),
+        when(!anyM && $"xmin" <= $"xmax", round($"ymax", 3)).as("ymax_r"))
     }),
     // feature source = the materialized parquet (S5 loam-scan analog):
     // the two-branch pyramid scans its source twice, and a parquet
@@ -917,6 +1256,7 @@ object SparkEntry {
                CAST(0 AS BIGINT) AS n_unexpected_layers
              FROM cov WHERE z = 14 AND tx = 3946 AND ty = 5895
              GROUP BY 1"""),
+      "ew_features" -> ewFeaturesSql,
       "ew_way_features" -> {
         // layer-match branches generated from the PARSED config; assumes
         // (asserted by the corpus) no relation matches a linestring layer

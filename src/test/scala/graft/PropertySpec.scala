@@ -170,4 +170,76 @@ class PropertySpec extends AnyFunSuite {
       .takeWhile(_.isDefined).map(_.get).toList
     assert(out == List(Pt(10.2, 10.2), Pt(90, 10), Pt(90, 50)))
   }
+
+  // -------------------------------------------------------------------
+  // Ring-stitching invariants the ew_features DuckDB oracle relies on
+  // (SparkEntry edge-fp comment block): over random way-multigraphs,
+  //  (1) greedy keep ⟺ every endpoint-graph vertex has even degree,
+  //  (2) ring edge multiset == member-way edge multiset when kept,
+  //  (3) with max endpoint degree ≤ 2: n_rings == connected components
+  //      and each ring's outer flag == role of its max-pos member.
+  // -------------------------------------------------------------------
+  test("ring assembly: parity keep rule, edge multiset, component count") {
+    import graft.dig.{RelMemberRow, RingAssembly}
+    val genWay: Gen[(String, Vector[Long])] = for {
+      role <- Gen.oneOf("outer", "inner", "other", "")
+      u <- Gen.chooseNum(1L, 6L)
+      v <- Gen.chooseNum(1L, 6L)
+      mid <- Gen.listOfN(2, Gen.chooseNum(101L, 120L)) // unique interiors
+    } yield (role, (u +: mid.toVector.distinct) :+ v)
+    check(Prop.forAllNoShrink(Gen.chooseNum(0, 7)
+      .flatMap(n => Gen.listOfN(n, genWay))) { ws =>
+      // interior ids made globally unique so only u/v can be shared
+      val rows = ws.zipWithIndex.map { case ((role, ids0), i) =>
+        val ids = ids0.zipWithIndex.map { case (id, k) =>
+          if (k > 0 && k < ids0.length - 1) id + 1000L * (i + 1) else id
+        }
+        RelMemberRow("t", 1L, Nil, i, role, ids,
+          ids.map(_.toDouble), ids.map(_ * 2.0), 0)
+      }
+      val part = rows.filter(r =>
+        (r.role == "outer" || r.role == "inner") && r.ref_ids.length > 1)
+      // endpoint multigraph
+      val ends = part.map(r => (r.ref_ids.head, r.ref_ids.last))
+      val deg = ends.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val allEven = deg.valuesIterator.forall(_ % 2 == 0)
+      val out = RingAssembly.assemble("t", 1L, rows)
+      val keptOk = out.isDefined == allEven
+      val rest = out.forall { f =>
+        // (2) undirected edge multisets over node ids (coords invert to
+        // ids: x == id exactly for these small integers)
+        def canon(a: Long, b: Long) = if (a <= b) (a, b) else (b, a)
+        val ringEdges = f.rings.flatMap(r =>
+          r.xs.indices.dropRight(1).map(i =>
+            canon(r.xs(i).toLong, r.xs(i + 1).toLong)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val wayEdges = part.flatMap(r =>
+          r.ref_ids.indices.dropRight(1).map(i =>
+            canon(r.ref_ids(i), r.ref_ids(i + 1))))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val edgesOk = ringEdges == wayEdges
+        // (3) component count / roles, only when max degree ≤ 2
+        val maxdeg = if (deg.isEmpty) 0 else deg.valuesIterator.max
+        val compOk = maxdeg > 2 || {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          ends.foreach { case (u, v) => parent(find(u)) = find(v) }
+          val comps = ends.flatMap { case (u, v) => Seq(u, v) }
+            .map(find).distinct
+          val nOuterExp = comps.count { c =>
+            part.filter(r => find(r.ref_ids.head) == c)
+              .maxBy(_.pos).role == "outer"
+          }
+          f.rings.size == comps.size &&
+            f.rings.count(_.outer) == nOuterExp
+        }
+        edgesOk && compOk
+      }
+      keptOk && rest
+    })
+  }
 }
