@@ -43,14 +43,45 @@ final class ProtoWriter {
     len += b.length
   }
 
+  /** Length-delimited field whose body is a SLICE of `b` — the engine
+    * assembly path frames geometry straight out of the shuffled payload
+    * blob without an intermediate copy. */
+  def bytesField(field: Int, b: Array[Byte], off: Int, n: Int): Unit = {
+    key(field, 2); writeVarint(n.toLong)
+    ensure(n)
+    System.arraycopy(b, off, buf, len, n)
+    len += n
+  }
+
+  /** Length-delimited field whose body is another writer's current
+    * content — lets a reusable per-feature writer be framed into the
+    * layer writer with one copy and zero `toBytes` allocation. */
+  def bytesField(field: Int, o: ProtoWriter): Unit = {
+    key(field, 2); writeVarint(o.len.toLong)
+    append(o)
+  }
+
   def stringField(field: Int, s: String): Unit =
-    bytesField(field, s.getBytes("UTF-8"))
+    bytesField(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def packedField(field: Int, vals: Iterable[Long]): Unit = {
     val p = new ProtoWriter
     vals.foreach(p.writeVarint)
     bytesField(field, p.toBytes)
   }
+
+  /** Raw concatenation of another writer's content (no framing). */
+  def append(o: ProtoWriter): Unit = {
+    ensure(o.len)
+    System.arraycopy(o.buf, 0, buf, len, o.len)
+    len += o.len
+  }
+
+  /** Forget the content, keep the backing buffer — reuse across features
+    * instead of allocating a fresh writer per feature. */
+  def reset(): Unit = len = 0
+
+  def size: Int = len
 
   def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
@@ -178,52 +209,87 @@ final case class MvtFeature(
   * (~1-2 B per command instead of 8 B of Long) — `addFeatureRaw` takes
   * that form directly; `addFeature` converts. */
 final class MvtLayer(name: String, extent: Int) {
-  private val features =
-    mutable.ArrayBuffer.empty[(GeomTp, Array[Byte],
-      Seq[(String, Either[String, Long])])]
+  // Features are encoded INTO `fsec` as they arrive (the dictionaries
+  // only need to be complete at encode() time), so the layer never
+  // buffers a per-feature tuple/Seq graph — the buffered form was the
+  // top CPU consumer in a width-8 JFR profile (Vector.flatMap +
+  // VectorBuilder.addAll building a boxed Seq[Long] per feature).
+  private val keys = mutable.LinkedHashMap.empty[String, Int]
+  // Value dictionary keyed by the RAW value object — String for string
+  // values, boxed java.lang.Long for sint values. Class disjointness
+  // gives exactly the Left/Right discrimination an Either key gave, but
+  // String#hashCode is cached while the Either case-class hash re-mixed
+  // the payload on every probe (Statics.anyHash was a measured hotspot).
+  private val values = mutable.LinkedHashMap.empty[Any, Int]
+  private val fsec = new ProtoWriter // accumulated field-2 feature msgs
+  private val fw = new ProtoWriter   // reusable per-feature writer
+  private val tw = new ProtoWriter   // reusable packed-tag-index writer
+  private var n = 0
+
+  def numFeatures: Int = n
+
+  /** Start a feature's tag list (engine streaming path). */
+  def beginTags(): Unit = tw.reset()
+
+  /** Intern one (key, value) and append its index pair; `value` must be
+    * a String (string tag) or java.lang.Long (sint tag). */
+  def addTag(key: String, value: Any): Unit = {
+    tw.writeVarint(keys.getOrElseUpdate(key, keys.size).toLong)
+    tw.writeVarint(values.getOrElseUpdate(value, values.size).toLong)
+  }
+
+  /** Finish a feature whose geometry is a slice of `blob` (pre-varinted
+    * field-4 body bytes). Must follow beginTags()/addTag() calls. */
+  def endFeature(geomTp: GeomTp, blob: Array[Byte], geomOff: Int,
+                 geomLen: Int): Unit = {
+    fw.reset()
+    fw.bytesField(2, tw)
+    fw.varintField(3, geomTp match {
+      case GeomTp.Point => 1L
+      case GeomTp.Linestring => 2L
+      case GeomTp.Polygon => 3L
+    })
+    fw.bytesField(4, blob, geomOff, geomLen)
+    fsec.bytesField(2, fw)
+    n += 1
+  }
 
   def addFeature(f: MvtFeature): Unit = if (f.geometry.nonEmpty) {
     val gw = new ProtoWriter
     f.geometry.foreach(gw.writeVarint)
-    features += ((f.geomTp, gw.toBytes, f.tags))
+    addFeatureRaw(f.geomTp, gw.toBytes, f.tags)
   }
 
   /** Pre-varinted geometry payload (field-4 body bytes). */
   def addFeatureRaw(geomTp: GeomTp, geomBytes: Array[Byte],
                     tags: Seq[(String, Either[String, Long])]): Unit =
-    if (geomBytes.nonEmpty) features += ((geomTp, geomBytes, tags))
-
-  def numFeatures: Int = features.length
+    if (geomBytes.nonEmpty) {
+      beginTags()
+      tags.foreach { case (k, v) =>
+        addTag(k, v match {
+          case Left(s) => s
+          case Right(l) => java.lang.Long.valueOf(l)
+        })
+      }
+      endFeature(geomTp, geomBytes, 0, geomBytes.length)
+    }
 
   def encode(): Array[Byte] = {
-    val keys = mutable.LinkedHashMap.empty[String, Int]
-    val values = mutable.LinkedHashMap.empty[Either[String, Long], Int]
     val w = new ProtoWriter
     w.stringField(1, name)
-    features.foreach { case (geomTp, geomBytes, tags) =>
-      val fw = new ProtoWriter
-      val tagIdx = tags.flatMap { case (k, v) =>
-        val ki = keys.getOrElseUpdate(k, keys.size)
-        val vi = values.getOrElseUpdate(v, values.size)
-        Seq(ki.toLong, vi.toLong)
-      }
-      fw.packedField(2, tagIdx)
-      fw.varintField(3, geomTp match {
-        case GeomTp.Point => 1L
-        case GeomTp.Linestring => 2L
-        case GeomTp.Polygon => 3L
-      })
-      fw.bytesField(4, geomBytes)
-      w.bytesField(2, fw.toBytes)
-    }
+    w.append(fsec) // features, already framed as field-2 messages
     keys.keys.foreach(k => w.stringField(3, k))
     values.keys.foreach {
-      case Left(s) =>
+      case s: String =>
         val vw = new ProtoWriter; vw.stringField(1, s)
-        w.bytesField(4, vw.toBytes)
-      case Right(i) =>
-        val vw = new ProtoWriter; vw.varintField(6, ProtoWriter.zigzag64(i))
-        w.bytesField(4, vw.toBytes)
+        w.bytesField(4, vw)
+      case i: java.lang.Long =>
+        val vw = new ProtoWriter
+        vw.varintField(6, ProtoWriter.zigzag64(i.longValue()))
+        w.bytesField(4, vw)
+      case other =>
+        throw new IllegalStateException(
+          s"MVT value dictionary holds ${other.getClass}")
     }
     w.varintField(5, extent.toLong)
     w.varintField(15, 2L) // version

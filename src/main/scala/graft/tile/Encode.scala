@@ -37,17 +37,32 @@ object Encode {
       else Some((tag, Left(v)))
     }
 
-  /** Same selection as [[mvtTags]], but as (include-pattern index, value)
-    * pairs — the minimal shuffle form; tag names and sint flags are
-    * re-derived from the layer config at assembly. */
-  def mvtTagIdx(layer: LayerDef, values: Seq[String]): Seq[(Int, String)] =
-    layer.includeTags.indices.flatMap { i =>
-      val v = if (i < values.length) values(i) else null
-      if (v == null) None
-      else if (layer.includeTags(i)._2) // sint: drop unparsable
-        v.toLongOption.map(_ => (i, v))
-      else Some((i, v))
+  /** Same selection as [[mvtTags]], but as parallel (include-pattern
+    * index, value) arrays — the minimal shuffle form for
+    * [[PayloadCodec.pack]]; tag names and sint flags are re-derived from
+    * the layer config at assembly. Imperative: this runs once per
+    * (feature, zoom, tile) exploded row. */
+  def mvtTagArrays(layer: LayerDef, values: Array[String])
+      : (Array[Int], Array[String]) = {
+    val inc = layer.includeTags
+    val lim = math.min(inc.length, values.length)
+    val ti = new Array[Int](lim)
+    val tv = new Array[String](lim)
+    var n = 0
+    var i = 0
+    while (i < lim) {
+      val v = values(i)
+      // sint values that don't parse are warned-and-dropped upstream
+      // semantics (mvtenc.rs:33-40): drop here, parse again at assembly
+      if (v != null && (!inc(i)._2 || v.toLongOption.isDefined)) {
+        ti(n) = i; tv(n) = v; n += 1
+      }
+      i += 1
     }
+    if (n == lim) (ti, tv)
+    else (java.util.Arrays.copyOf(ti, n),
+      java.util.Arrays.copyOfRange(tv, 0, n))
+  }
 
   // ------------------------------------------------------------------ MVT
 

@@ -21,15 +21,17 @@ final case class TileFeatRow(tile_id: Long, layer_rank: Int,
 /** One PRE-ENCODED feature payload: the geometry work (clip / simplify /
   * transform / command encode) is done per-feature BEFORE the shuffle, so
   * the hot z0-2 tiles (a z0 tile covers the whole corpus) never serialize
-  * encode work into one task. The shuffle representation is minimal:
-  * `geom` carries the command varints PRE-SERIALIZED as bytes (~1-2 B per
-  * command vs 8 B of Long), and tags travel as include-pattern INDICES
-  * plus value strings — the key names and sint flags are re-derived from
-  * the layer config at assembly. Wyrm fields: `content` + `found`. */
+  * encode work into one task. The shuffle representation is minimal: the
+  * sort/merge key rides as three primitives and EVERYTHING else —
+  * pre-varinted geometry commands (~1-2 B per command vs 8 B of Long),
+  * tag include-pattern indices + value strings, wyrm content + found —
+  * is one [[PayloadCodec]] blob, so Catalyst (de)serializes the row as
+  * primitives plus a byte copy on both sides of the exchange (and again
+  * through [[TilePartial]] on the salted branch). Key names and sint
+  * flags are re-derived from the layer config at assembly. */
 final case class FeatPayload(
     tile_id: Long, layer_rank: Int, kind_rank: Int, id: Long,
-    geom: Array[Byte], tag_idx: Seq[Int], tag_vals: Seq[String],
-    content: String, found: Boolean)
+    blob: Array[Byte])
 
 /** The batch tile-pyramid job (SURVEY.md §3.2 "Spark shape"):
   *
@@ -105,9 +107,10 @@ object Pyramid extends Serializable {
       else {
         val gw = new ProtoWriter
         cmds.foreach(gw.writeVarint)
-        val tags = Encode.mvtTagIdx(layer, values)
-        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id, gw.toBytes,
-          tags.map(_._1), tags.map(_._2), "", found = true))
+        val (tagIdx, tagVals) = Encode.mvtTagArrays(layer, values)
+        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
+          PayloadCodec.pack(found = true, gw.toBytes, tagIdx, tagVals,
+            "")))
       }
     } else {
       val rendered: Option[(String, Boolean)] = layer.geomTp match {
@@ -121,8 +124,8 @@ object Pyramid extends Serializable {
             .map((_, true))
       }
       rendered.map { case (content, found) =>
-        FeatPayload(r.tile_id, rank, r.kind_rank, r.id, Array.empty,
-          Nil, Nil, content, found)
+        FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
+          PayloadCodec.packWyrm(found, content))
       }
     }
   }
@@ -148,13 +151,21 @@ object Pyramid extends Serializable {
           ml = new MvtLayer(group.layers(curRank).name, cfgE.tileExtent)
         }
         val layer = group.layers(curRank)
-        val tags = p.tag_idx.indices.map { j =>
-          val (tag, sint) = layer.includeTags(p.tag_idx(j))
-          (tag,
-            if (sint) Right(p.tag_vals(j).toLong): Either[String, Long]
-            else Left(p.tag_vals(j)))
+        val v = new PayloadCodec.View(p.blob)
+        // empty geometry is elided at encode time; the guard mirrors
+        // addFeatureRaw's (tags of an elided feature must not intern)
+        if (v.geomLen > 0) {
+          ml.beginTags()
+          var j = 0
+          while (j < v.nTags) {
+            val (tag, sint) = layer.includeTags(v.tagIdx(j))
+            val s = v.tagVal(j)
+            ml.addTag(tag,
+              if (sint) java.lang.Long.valueOf(s.toLong) else s)
+            j += 1
+          }
+          ml.endFeature(layer.geomTp, p.blob, v.geomOff, v.geomLen)
         }
-        ml.addFeatureRaw(layer.geomTp, p.geom, tags)
       }
       if (ml != null && ml.numFeatures > 0) layerBytes += ml.encode()
       if (layerBytes.nonEmpty)
@@ -186,14 +197,15 @@ object Pyramid extends Serializable {
           open = true
           nextLayer = p.layer_rank + 1
         }
-        sb.append(p.content)
-        if (p.found) anyFound = true
+        val v = new PayloadCodec.View(p.blob)
+        sb.append(v.content)
+        if (v.found) anyFound = true
       }
       if (open) sb.append("</g>")
       emitEmptyUpTo(group.layers.length)
       if (!anyFound) Iterator.empty
       else Iterator(TileRow(groupName, tid.z, tid.x, tid.y, fmt,
-        sb.toString.getBytes("UTF-8")))
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
   }
 

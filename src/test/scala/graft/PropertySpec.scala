@@ -135,8 +135,7 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAllNoShrink(genKeys, Gen.chooseNum(1, 16)) {
       (keys, nSalts) =>
         val ps = keys.map { case (lr, kr, id) =>
-          FeatPayload(0L, lr, kr, id, Array.empty, Nil, Nil, "",
-            found = true)
+          FeatPayload(0L, lr, kr, id, Array.empty)
         }
         def key(p: FeatPayload) = (p.layer_rank, p.kind_rank, p.id)
         val runs = ps.groupBy(Pyramid.saltOf(_, nSalts)).values
