@@ -63,7 +63,8 @@ object MvtDecode {
     }
     def utf8(len: Long): String = {
       val c = sub(len)
-      new String(bytes, c.pos, c.end - c.pos, "UTF-8")
+      new String(bytes, c.pos, c.end - c.pos,
+        java.nio.charset.StandardCharsets.UTF_8)
     }
     /** Skip one field of the given wire type; unknown wire types poison. */
     def skip(wire: Int): Unit = wire match {

@@ -54,7 +54,7 @@ object Encode {
       val v = values(i)
       // sint values that don't parse are warned-and-dropped upstream
       // semantics (mvtenc.rs:33-40): drop here, parse again at assembly
-      if (v != null && (!inc(i)._2 || v.toLongOption.isDefined)) {
+      if (v != null && (!inc(i)._2 || isParsableLong(v))) {
         ti(n) = i; tv(n) = v; n += 1
       }
       i += 1
@@ -62,6 +62,36 @@ object Encode {
     if (n == lim) (ti, tv)
     else (java.util.Arrays.copyOf(ti, n),
       java.util.Arrays.copyOfRange(tv, 0, n))
+  }
+
+  /** Allocation-free `s.toLongOption.isDefined`: the JDK parseLong
+    * acceptance loop mirrored (optional +/-, `Character.digit` base-10
+    * digits — including non-ASCII decimal digits, which Scala's
+    * toLongOption also accepts — overflow rejected), pinned ≡
+    * toLongOption by a PropertySpec property. This runs once per sint
+    * tag per (feature, zoom, tile) exploded row; toLongOption's boxed
+    * Some(Long) was a measured JFR hotspot. */
+  private[graft] def isParsableLong(s: String): Boolean = {
+    val len = s.length
+    if (len == 0) return false
+    var i = 0
+    val first = s.charAt(0)
+    val neg = first == '-'
+    if (neg || first == '+') i = 1
+    if (i >= len) return false
+    val limit = if (neg) Long.MinValue else -Long.MaxValue
+    val multmin = limit / 10
+    var result = 0L
+    while (i < len) {
+      val d = Character.digit(s.charAt(i), 10)
+      if (d < 0) return false
+      if (result < multmin) return false
+      result *= 10
+      if (result < limit + d) return false
+      result -= d
+      i += 1
+    }
+    true
   }
 
   // ------------------------------------------------------------------ MVT

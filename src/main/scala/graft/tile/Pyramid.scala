@@ -106,7 +106,8 @@ object Pyramid extends Serializable {
       if (cmds.isEmpty) None
       else {
         val gw = new ProtoWriter
-        cmds.foreach(gw.writeVarint)
+        var ci = 0
+        while (ci < cmds.length) { gw.writeVarint(cmds(ci)); ci += 1 }
         val (tagIdx, tagVals) = Encode.mvtTagArrays(layer, values)
         Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
           PayloadCodec.pack(found = true, gw.toBytes, tagIdx, tagVals,

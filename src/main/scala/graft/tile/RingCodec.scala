@@ -1,6 +1,7 @@
 package graft.tile
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.model.Ring
 
@@ -72,7 +73,7 @@ object RingCodec {
   // then the ring block of [[pack]].
 
   def packFeat(values: Seq[String], rings: Seq[Ring]): Array[Byte] = {
-    val utf = values.map(v => if (v == null) null else v.getBytes("UTF-8"))
+    val utf = values.map(v => if (v == null) null else v.getBytes(UTF_8))
     var bytes = 4 + 4
     utf.foreach(u => bytes += 4 + (if (u == null) 0 else u.length))
     rings.foreach(r => bytes += 5 + 16 * r.xs.length)
@@ -105,7 +106,7 @@ object RingCodec {
       if (len >= 0) {
         val u = new Array[Byte](len)
         bb.get(u)
-        vals(i) = new String(u, "UTF-8")
+        vals(i) = new String(u, UTF_8)
       }
       i += 1
     }

@@ -144,6 +144,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("isParsableLong ≡ toLongOption.isDefined (sint drop rule)") {
+    val edge = Seq("", "+", "-", "0", "+5", "-5", "12a", " 5", "5 ",
+      "9223372036854775807", "9223372036854775808",
+      "-9223372036854775808", "-9223372036854775809",
+      "00", "0x5", "٥", "１２", "1e3", "-", "--1", "+-1",
+      Long.MaxValue.toString, Long.MinValue.toString)
+    edge.foreach { s =>
+      assert(graft.tile.Encode.isParsableLong(s) == s.toLongOption.isDefined,
+        s"mismatch on '$s'")
+    }
+    // arbitrary strings + near-overflow numerics
+    val genNum = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(v => BigInt(v) * 10 + 7).map(_.toString),
+      Gen.asciiPrintableStr.map(_.take(24)),
+      Gen.listOf(Gen.oneOf('0' to '9')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('0', '9', '٥', '１', 'a')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('0' to '9')).map("-" + _.mkString))
+    check(Prop.forAllNoShrink(genNum) { s =>
+      graft.tile.Encode.isParsableLong(s) == s.toLongOption.isDefined
+    })
+  }
+
   test("span codec: decode ∘ encode = id for arbitrary entities") {
     check(Prop.forAll(genEntity, Gen.chooseNum(0L, Long.MaxValue)) {
       (e, seed) =>
