@@ -174,6 +174,48 @@ object ScalingBench {
       }
     }
 
+    /** Per-stage tail diagnosis (SPARK_GRAFT_SCALING_STAGES=true): stage
+      * wall, task-time sum, and max task expose WHERE the idle cores at
+      * the end of a wide run come from — a straggler merge task shows as
+      * maxTask ≈ stage wall with taskSum ≪ wall·cpus. */
+    final class StageStatsListener
+        extends org.apache.spark.scheduler.SparkListener {
+      final case class St(var submitted: Long = 0L, var completed: Long = 0L,
+                          var taskMs: Long = 0L, var maxTaskMs: Long = 0L,
+                          var nTasks: Int = 0, var name: String = "")
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+      private def st(id: Int) =
+        stages.computeIfAbsent(id, _ => St())
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val s = st(e.stageInfo.stageId)
+        s.submitted = System.currentTimeMillis()
+        s.name = e.stageInfo.name.takeWhile(_ != '\n').take(60)
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        st(e.stageInfo.stageId).completed = System.currentTimeMillis()
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) {
+          val s = st(t.stageId)
+          s.synchronized {
+            s.taskMs += t.taskInfo.duration
+            s.maxTaskMs = math.max(s.maxTaskMs, t.taskInfo.duration)
+            s.nTasks += 1
+          }
+        }
+      def report(): Unit = {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(_._1).foreach { case (id, s) =>
+          println(f"[stage] id=$id%-3d wall=${
+            (s.completed - s.submitted) / 1e3}%.3f taskSec=${
+            s.taskMs / 1e3}%.3f maxTask=${s.maxTaskMs / 1e3}%.3f tasks=${
+            s.nTasks}%-3d ${s.name}")
+        }
+      }
+    }
+
     // phase 0: materialize features once (full parallelism, unmeasured)
     if (!new java.io.File(featPath + "/_SUCCESS").exists()) {
       val s = session(32)
@@ -223,9 +265,13 @@ object ScalingBench {
         catch { case _: Throwable => "-1" }
       val repsPerJvm =
         sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
+      val stageStats = sys.env.get("SPARK_GRAFT_SCALING_STAGES")
+        .contains("true")
       val times = (1 to repsPerJvm).map { _ =>
         val l = new TaskSumListener
+        val sl = if (stageStats) Some(new StageStatsListener) else None
         spark.sparkContext.addSparkListener(l)
+        sl.foreach(spark.sparkContext.addSparkListener)
         val gc0 = gcMs
         val c0 = cpuNs
         val t0 = System.nanoTime()
@@ -233,6 +279,9 @@ object ScalingBench {
           .tiles(spark, features, cfg, "tile", "mvt", 0, zMax).count()
         val w = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.removeSparkListener(l)
+        sl.foreach { s =>
+          spark.sparkContext.removeSparkListener(s); s.report()
+        }
         println(s"[scaling] cpus=$cpus wall=${num(w)} " +
           s"taskSec=${num(l.sum.get() / 1e3)} tasks=${l.n.get()} " +
           s"util=${num(l.sum.get() / 1e3 / (w * cpus))} " +

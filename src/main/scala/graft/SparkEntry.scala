@@ -690,6 +690,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
+    "dedup_embedding" -> ((s, d) => PipelineOps.dedupEmbedding(s, d)),
     "ann_cosine_topk" -> ((s, d) => PipelineOps.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => PipelineOps.annIvfTopK(s, d)),
@@ -1122,6 +1123,52 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+      // random-hyperplane LSH re-derived from md5 (plane(t,p,i) = first 8
+      // md5 hex chars of "t:p:i" as u32 → [-1,1); exact in a double, so
+      // both engines see bit-identical planes), bucket = sign-of-dot bits,
+      // hot buckets (> 2048 = PipelineOps.AnnMaxBucket) dropped, exact
+      // cosine ≥ 0.40 on candidates; planes-per-table 4 =
+      // annPlanesFor(500) at the driver's sf0.01
+      "dedup_embedding" ->
+        """WITH planes AS (
+             SELECT t.t, p.p,
+               list_transform(generate_series(0, 63), i ->
+                 list_sum(list_transform(generate_series(1, 8), k ->
+                   CAST(strpos('0123456789abcdef',
+                     substr(md5(t.t || ':' || p.p || ':' || i), k, 1)) - 1
+                     AS DOUBLE) * pow(16.0, 8 - k)))
+                 / 2147483648.0 - 1.0) AS pl
+             FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+                  (SELECT unnest(generate_series(0, 3)) AS p) p),
+           dots AS (SELECT e.vec_id, pl.t, pl.p,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> pl.pl[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+             FROM embeddings e, planes pl),
+           bkts AS (SELECT vec_id, t,
+               CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT)
+                 AS bkt
+             FROM dots GROUP BY 1, 2),
+           keep AS (SELECT t, bkt FROM bkts GROUP BY 1, 2
+             HAVING count(*) <= 2048),
+           kept AS (SELECT b.* FROM bkts b JOIN keep USING (t, bkt)),
+           cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM kept a JOIN kept b ON a.t = b.t AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id),
+           cosv AS (SELECT vec_a, vec_b,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE)
+                      * CAST(eb.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(ea.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(eb.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+             FROM cand
+             JOIN embeddings ea ON ea.vec_id = vec_a
+             JOIN embeddings eb ON eb.vec_id = vec_b)
+           SELECT vec_a, vec_b, round(cos, 6) AS cos_r
+           FROM cosv WHERE cos >= 0.40""",
       "ann_cosine_topk" ->
         """WITH dot AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
              list_sum(list_transform(generate_series(1, len(q.embedding)),

@@ -200,6 +200,81 @@ object PipelineOps {
         coalesce($"cluster_n", lit(1L)).as("cluster_n"))
   }
 
+  /** Plane component (table t, plane p, dim i) for the embedding near-dup
+    * LSH: the first 8 hex chars of md5("t:p:i") as an unsigned 32-bit
+    * integer, mapped to [-1, 1). md5 (not mix64) so the DuckDB oracle can
+    * re-derive the identical double — the integer is exact in a double and
+    * the divisor is a power of two, so both engines see bit-identical
+    * plane vectors (the f1_mercator bit-exactness precedent). */
+  private[pipeline] def embPlane(t: Int, p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t:$p:$i".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH candidate
+    * generation + EXACT cosine verify — the embedding-space sibling of
+    * [[dedupMinhashPairs]] (same op shape: deterministic bucketing defines
+    * the candidate set, an exact measure gates the output, hot buckets are
+    * dropped by the [[AnnMaxBucket]] fence so no key goes quadratic; exact
+    * duplicates of a hot pile are [[dedupExact]]'s regime, as the ANN ops
+    * document).
+    *
+    * Scale shape: one pass to bucket (planes scale with the corpus count
+    * via [[annPlanesFor]], so posting lists stay ≈ constant-size at any
+    * n), a capped self-equi-join per (table, bucket), exact cosine only on
+    * candidate pairs. No driver-side state; the plane matrix is a plan
+    * literal (nTables × planes × dim doubles).
+    *
+    * The synthetic corpus has no true near-duplicates (max pairwise cosine
+    * ≈ 0.51–0.60 across SFs), so the default threshold 0.40 is set to
+    * exercise the full path with a non-trivial result; at production
+    * thresholds (≥ 0.9) the identical plan applies — only the constant
+    * changes. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.40, nTables: Int = 8,
+                     planesPerTable: Int = 0, dim: Int = 64,
+                     maxBucket: Int = AnnMaxBucket): DataFrame =
+    dedupEmbeddingDf(spark, embeddings(spark, sfDir), threshold, nTables,
+      planesPerTable, dim, maxBucket)
+
+  def dedupEmbeddingDf(spark: SparkSession, e0: DataFrame,
+                       threshold: Double, nTables: Int,
+                       planesPerTable: Int, dim: Int,
+                       maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    val planes =
+      if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
+    // sign-of-dot bucket bits; dot accumulates in INDEX ORDER (aggregate
+    // over zip_with), mirrored by the oracle's list_sum(list_transform)
+    def bucket(t: Int, e: Column): Column =
+      (0 until planes).map { p =>
+        val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
+        when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
+          lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val tb = e0.select($"vec_id", $"embedding",
+      posexplode(array((0 until nTables).map(t =>
+        bucket(t, $"embedding")): _*)).as(Seq("table", "bkt")))
+      .cache()
+    val keep = tb.groupBy($"table", $"bkt")
+      .agg(count(lit(1)).as("bc"))
+      .where($"bc" <= maxBucket)
+      .select($"table", $"bkt")
+    val kept = tb.join(keep, Seq("table", "bkt"))
+    val cand = kept.as("a").join(kept.as("b"), Seq("table", "bkt"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .withColumn("cos", dotCos($"ea", $"eb"))
+      .where($"cos" >= threshold)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_r"))
+  }
+
   // --------------------------------------------------------------- ANN
 
   /** Squared L2 distance between two double-array columns (codegen'd

@@ -191,6 +191,67 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.length == 1 && ex.head.getLong(1) == 1000L)
   }
 
+  test("dedup_embedding: exact-cosine subset of brute force, recall floor") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.pipeline.PipelineOps.dedupEmbedding(spark, sf)
+      .collect()
+    // brute-force truth: every pair with cosine >= 0.40, same rounding
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val ids = e.keys.toSeq.sorted
+    val truth = (for {
+      ai <- ids.indices; bi <- ai + 1 until ids.size
+      a = ids(ai); b = ids(bi)
+      c = cos(e(a), e(b)) if c >= 0.40
+    } yield (a, b)).toSet
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates can only MISS true pairs, never invent one, and the
+    // verify stage re-computes the exact cosine
+    assert(gotPairs.subsetOf(truth),
+      s"non-near-dup pairs emitted: ${gotPairs -- truth}")
+    got.foreach { r =>
+      val c = cos(e(r.getLong(0)), e(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6)
+      assert(r.getDouble(2) >= 0.40)
+    }
+    assert(gotPairs == got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .distinct.toSet) // no duplicate pairs across tables
+    // deterministic md5 planes → fixed recall on the fixed corpus; floor
+    // well under the measured value so dim/plane tweaks don't flap it
+    assert(gotPairs.size >= (truth.size * 0.6).toInt,
+      s"recall ${gotPairs.size}/${truth.size}")
+  }
+
+  test("dedup_embedding hot-bucket fence: identical pile yields no pairs") {
+    import spark.implicits._
+    val dim = 8
+    val same = Seq.fill(dim)(1.0f)
+    val rnd = new java.util.Random(11)
+    val distinct = (0 until 100).map(i =>
+      (5000L + i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = ((0 until 3000).map(i => (i.toLong, same)) ++ distinct)
+      .toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val got = graft.pipeline.PipelineOps.dedupEmbeddingDf(spark, emb,
+      threshold = 0.40, nTables = 8, planesPerTable = 0, dim = dim,
+      maxBucket = 256).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the 3000 identical vectors share every table's bucket (> cap →
+    // dropped): cos=1.0 pairs among them are NOT emitted — exact
+    // duplicates are dedupExact's regime (AnnMaxBucket doc)
+    assert(got.forall(r => r.getLong(0) >= 5000L && r.getLong(1) >= 5000L),
+      "hot-pile pair leaked through the fence")
+    assert(sec < 60.0, s"took $sec s — quadratic stage?")
+  }
+
   test("ANN scale parameters derive from corpus size") {
     import graft.pipeline.PipelineOps._
     // posting list ≈ AnnTargetBucket at every n (floored at 4 planes)
