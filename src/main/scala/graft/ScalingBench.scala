@@ -126,13 +126,16 @@ object ScalingBench {
       countyCols = 24, countyRows = 20)
     val featPath = "/tmp/graft_scaling_features"
     val dataDir = "/root/repo/data"
-    // "pv6" = measured-plan version (pv3: RingCodec-packed rings; pv4:
+    // "pv7" = measured-plan version (pv3: RingCodec-packed rings; pv4:
     // whole-feature packFeat blob + layer-rank int rows; pv5: shuffled
     // FeatPayload packed to one blob + streaming MvtLayer encode; pv6:
     // UTF_8 charset constants + alloc-free sint validation in the
-    // encode row loop); bump when the pyramid job or the timing method
-    // changes so old level files can't win the min
-    val fp = fingerprint("pv6", p.toString, zMax.toString,
+    // encode row loop; pv7: per-partition reusable FeatureEncoder —
+    // primitive command buffer, reused ProtoWriter/MvtGeomEncoder, tag
+    // values as raw byte slices, no per-row String round trip); bump
+    // when the pyramid job or the timing method changes so old level
+    // files can't win the min
+    val fp = fingerprint("pv7", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))

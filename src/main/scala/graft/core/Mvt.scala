@@ -83,6 +83,10 @@ final class ProtoWriter {
 
   def size: Int = len
 
+  /** Backing array (first [[size]] bytes valid) — lets the payload codec
+    * copy the content without the [[toBytes]] intermediate allocation. */
+  private[graft] def buffer: Array[Byte] = buf
+
   def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
 
@@ -103,12 +107,22 @@ object ProtoWriter {
   * line/polygon types; degenerate geoms (lines < 2 pts, rings < 3 pts after
   * removing a duplicated closing point) are elided.
   */
-final class MvtGeomEncoder(geomTp: GeomTp, bbox: BBox, transform: Affine) {
+final class MvtGeomEncoder(private var geomTp: GeomTp,
+                           private var bbox: BBox,
+                           private var transform: Affine) {
   // points packed as (x << 32) | (y & 0xFFFFFFFF) — no per-point tuple
   // boxing in the map-side hot path
   private val geoms = mutable.ArrayBuffer.empty[Array[Long]]
   private var current = new Array[Long](8)
   private var curLen = 0
+
+  /** Re-arm for the next feature, keeping the backing buffers — the
+    * per-feature constructor was a measured JFR hotspot at pv6 (the
+    * encode stage allocates one encoder per (feature, zoom, tile) row). */
+  def reset(tp: GeomTp, bb: BBox, tf: Affine): Unit = {
+    geomTp = tp; bbox = bb; transform = tf
+    geoms.clear(); curLen = 0
+  }
 
   @inline private def pack(x: Int, y: Int): Long =
     (x.toLong << 32) | (y.toLong & 0xFFFFFFFFL)
@@ -155,41 +169,69 @@ final class MvtGeomEncoder(geomTp: GeomTp, bbox: BBox, transform: Affine) {
 
   def isEmpty: Boolean = geoms.isEmpty && curLen == 0
 
+  // primitive growable command buffer (reused across encode() calls of a
+  // reused encoder) — the boxed ArrayBuffer[Long] + generic foreach here
+  // were ~9% of serial pyramid CPU in a pv6 JFR profile
+  private var cbuf = new Array[Long](32)
+  private var clen = 0
+  private var lx = 0
+  private var ly = 0
+
+  @inline private def cmd(v: Long): Unit = {
+    if (clen == cbuf.length)
+      cbuf = java.util.Arrays.copyOf(cbuf, clen << 1)
+    cbuf(clen) = v; clen += 1
+  }
+
+  @inline private def param(p: Long): Unit = {
+    val x = px(p); val y = py(p)
+    cmd(ProtoWriter.zigzag32(x - lx))
+    cmd(ProtoWriter.zigzag32(y - ly))
+    lx = x; ly = y
+  }
+
   /** Encode to MVT command/param integers. */
   def encode(): Array[Long] = {
     completeGeom()
-    val cmds = mutable.ArrayBuffer.empty[Long]
-    var lx = 0; var ly = 0
-    def param(p: Long): Unit = {
-      val x = px(p); val y = py(p)
-      cmds += ProtoWriter.zigzag32(x - lx)
-      cmds += ProtoWriter.zigzag32(y - ly)
-      lx = x; ly = y
-    }
+    clen = 0; lx = 0; ly = 0
     geomTp match {
       case GeomTp.Point =>
-        val n = geoms.map(_.length).sum
+        var n = 0
+        var gi = 0
+        while (gi < geoms.length) { n += geoms(gi).length; gi += 1 }
         if (n > 0) {
-          cmds += (1L | (n.toLong << 3)) // MoveTo × n
-          geoms.foreach(_.foreach(param))
+          cmd(1L | (n.toLong << 3)) // MoveTo × n
+          gi = 0
+          while (gi < geoms.length) {
+            val g = geoms(gi)
+            var i = 0
+            while (i < g.length) { param(g(i)); i += 1 }
+            gi += 1
+          }
         }
       case GeomTp.Linestring =>
-        geoms.foreach { g =>
-          cmds += (1L | (1L << 3)); param(g(0))
-          cmds += (2L | ((g.length - 1).toLong << 3))
+        var gi = 0
+        while (gi < geoms.length) {
+          val g = geoms(gi)
+          cmd(1L | (1L << 3)); param(g(0))
+          cmd(2L | ((g.length - 1).toLong << 3))
           var i = 1
           while (i < g.length) { param(g(i)); i += 1 }
+          gi += 1
         }
       case GeomTp.Polygon =>
-        geoms.foreach { g =>
-          cmds += (1L | (1L << 3)); param(g(0))
-          cmds += (2L | ((g.length - 1).toLong << 3))
+        var gi = 0
+        while (gi < geoms.length) {
+          val g = geoms(gi)
+          cmd(1L | (1L << 3)); param(g(0))
+          cmd(2L | ((g.length - 1).toLong << 3))
           var i = 1
           while (i < g.length) { param(g(i)); i += 1 }
-          cmds += 7L // ClosePath
+          cmd(7L) // ClosePath
+          gi += 1
         }
     }
-    cmds.toArray
+    java.util.Arrays.copyOf(cbuf, clen)
   }
 }
 
@@ -208,7 +250,7 @@ final case class MvtFeature(
   * array can be encoded once map-side and shipped as compact bytes
   * (~1-2 B per command instead of 8 B of Long) — `addFeatureRaw` takes
   * that form directly; `addFeature` converts. */
-final class MvtLayer(name: String, extent: Int) {
+final class MvtLayer(private var name: String, extent: Int) {
   // Features are encoded INTO `fsec` as they arrive (the dictionaries
   // only need to be complete at encode() time), so the layer never
   // buffers a per-feature tuple/Seq graph — the buffered form was the
@@ -227,6 +269,19 @@ final class MvtLayer(name: String, extent: Int) {
   private var n = 0
 
   def numFeatures: Int = n
+
+  /** Re-arm as an empty layer builder for `newName`, keeping the backing
+    * buffers and dictionary tables — semantically identical to a fresh
+    * instance (both dictionaries cleared), but without the per-(tile,
+    * layer) allocation that a pv6 JFR profile measured at ~4% of serial
+    * assembly CPU. */
+  def resetFor(newName: String): Unit = {
+    name = newName
+    keys.clear()
+    values.clear()
+    fsec.reset()
+    n = 0
+  }
 
   /** Start a feature's tag list (engine streaming path). */
   def beginTags(): Unit = tw.reset()

@@ -64,6 +64,71 @@ object Encode {
       java.util.Arrays.copyOfRange(tv, 0, n))
   }
 
+  /** Same selection as [[mvtTagArrays]], but over the RAW value byte
+    * slices of a [[RingCodec.packFeat]] blob ([[RingCodec.unpackFeatRaw]]
+    * offsets) — the engine hot path never materializes value Strings
+    * (the UTF-8 → String → UTF-8 round trip per exploded row was ~8% of
+    * serial pyramid CPU in a pv6 JFR profile). Returns (include-pattern
+    * indices, value-record offsets) trimmed to the kept count; value
+    * record i is [len:i32-LE][utf8] at offset o(i) in the blob. */
+  def mvtTagSlices(layer: LayerDef, blob: Array[Byte], valOff: Array[Int])
+      : (Array[Int], Array[Int]) = {
+    val inc = layer.includeTags
+    val lim = math.min(inc.length, valOff.length)
+    val ti = new Array[Int](lim)
+    val to = new Array[Int](lim)
+    var n = 0
+    var i = 0
+    while (i < lim) {
+      val off = valOff(i)
+      // off < 0 = null value (dropped, layer.rs:347-361); sint values
+      // that don't parse are warned-and-dropped (mvtenc.rs:33-40)
+      if (off >= 0 &&
+          (!inc(i)._2 ||
+            isParsableLongUtf8(blob, off + 4, RingCodec.readIntLE(blob, off)))) {
+        ti(n) = i; to(n) = off; n += 1
+      }
+      i += 1
+    }
+    if (n == lim) (ti, to)
+    else (java.util.Arrays.copyOf(ti, n), java.util.Arrays.copyOf(to, n))
+  }
+
+  /** [[isParsableLong]] over a UTF-8 byte slice without decoding. ASCII
+    * bytes are the digits' fast path; any non-ASCII byte (which could be
+    * a non-Latin decimal digit that `Character.digit` accepts) falls back
+    * to the String variant for exact parity. */
+  private[graft] def isParsableLongUtf8(b: Array[Byte], off: Int,
+                                        len: Int): Boolean = {
+    if (len == 0) return false
+    var i = 0
+    while (i < len) {
+      if (b(off + i) < 0)
+        return isParsableLong(
+          new String(b, off, len, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    i = 0
+    val first = b(off)
+    val neg = first == '-'
+    if (neg || first == '+') i = 1
+    if (i >= len) return false
+    val limit = if (neg) Long.MinValue else -Long.MaxValue
+    val multmin = limit / 10
+    var result = 0L
+    while (i < len) {
+      val c = b(off + i).toInt
+      val d = if (c >= '0' && c <= '9') c - '0' else -1
+      if (d < 0) return false
+      if (result < multmin) return false
+      result *= 10
+      if (result < limit + d) return false
+      result -= d
+      i += 1
+    }
+    true
+  }
+
   /** Allocation-free `s.toLongOption.isDefined`: the JDK parseLong
     * acceptance loop mirrored (optional +/-, `Character.digit` base-10
     * digits — including non-ASCII decimal digits, which Scala's
@@ -97,22 +162,38 @@ object Encode {
   // ------------------------------------------------------------------ MVT
 
   /** Encode one feature's geometry to MVT commands; empty → elide. */
-  def mvtGeometry(geomTp: GeomTp, rings: Seq[Ring], cfg: TileCfg)
+  def mvtGeometry(geomTp: GeomTp, rings: Array[Ring], cfg: TileCfg)
       : Array[Long] = {
     val enc = new MvtGeomEncoder(geomTp, cfg.bbox, cfg.transform)
+    mvtAddRings(enc, geomTp, rings, cfg)
+    enc.encode()
+  }
+
+  /** Feed a feature's rings into `enc` (which must be armed with the
+    * same geomTp/bbox/transform) — split out so the engine hot path can
+    * REUSE one encoder across rows via [[MvtGeomEncoder.reset]]. Indexed
+    * while loops: the generic `Seq.foreach` dispatch here was a measured
+    * pv6 JFR hotspot (~6% of serial CPU). */
+  private[tile] def mvtAddRings(enc: MvtGeomEncoder, geomTp: GeomTp,
+                                rings: Array[Ring], cfg: TileCfg): Unit = {
     geomTp match {
       case GeomTp.Point =>
-        rings.foreach { r =>
+        var ri = 0
+        while (ri < rings.length) {
+          val r = rings(ri)
           var i = 0
           while (i < r.xs.length) {
             if (cfg.bbox.contains(Pt(r.xs(i), r.ys(i))))
               enc.addPoint(r.xs(i), r.ys(i))
             i += 1
           }
+          ri += 1
         }
       case GeomTp.Linestring =>
         // segment-level clip: an excluded segment splits the geometry
-        rings.foreach { r =>
+        var ri = 0
+        while (ri < rings.length) {
+          val r = rings(ri)
           var connected = false
           var i = 0
           while (i < r.xs.length - 1) {
@@ -129,10 +210,13 @@ object Encode {
             } else connected = false
             i += 1
           }
+          ri += 1
         }
       case GeomTp.Polygon =>
         // rings emitted whole — no geometric clip (mvtenc.rs:148-163)
-        rings.foreach { r =>
+        var ri = 0
+        while (ri < rings.length) {
+          val r = rings(ri)
           if (r.xs.length >= 2) {
             enc.completeGeom()
             var i = 0
@@ -141,9 +225,9 @@ object Encode {
             }
             enc.completeGeom()
           }
+          ri += 1
         }
     }
-    enc.encode()
   }
 
   // ----------------------------------------------------------------- Wyrm

@@ -62,6 +62,38 @@ object PayloadCodec {
     bb.array()
   }
 
+  /** MVT payload from RAW pieces — geometry straight out of a reusable
+    * [[graft.core.ProtoWriter]]'s backing buffer and tag values copied as
+    * byte slices from the [[RingCodec.packFeat]] blob (offsets from
+    * [[Encode.mvtTagSlices]]) — no String materialization and no
+    * intermediate `toBytes` copy. Byte-identical to [[pack]] on the same
+    * logical content: both value records are [len:i32-LE][utf8]. */
+  def packRaw(found: Boolean, geomBuf: Array[Byte], geomLen: Int,
+              tagIdx: Array[Int], tagOff: Array[Int],
+              srcBlob: Array[Byte]): Array[Byte] = {
+    val nTags = tagIdx.length
+    var bytes = 1 + 4 + geomLen + 4 + 4
+    var i = 0
+    while (i < nTags) {
+      bytes += 8 + RingCodec.readIntLE(srcBlob, tagOff(i))
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(if (found) 1.toByte else 0.toByte)
+    bb.putInt(geomLen)
+    bb.put(geomBuf, 0, geomLen)
+    bb.putInt(nTags)
+    i = 0
+    while (i < nTags) {
+      bb.putInt(tagIdx(i))
+      // the [len:i32-LE][utf8] record copies verbatim
+      bb.put(srcBlob, tagOff(i), 4 + RingCodec.readIntLE(srcBlob, tagOff(i)))
+      i += 1
+    }
+    bb.putInt(0) // no wyrm content on the MVT path
+    bb.array()
+  }
+
   private val NoTags = new Array[Int](0)
   private val NoVals = new Array[String](0)
 

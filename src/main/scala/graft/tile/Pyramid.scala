@@ -93,43 +93,11 @@ object Pyramid extends Serializable {
 
   /** Per-feature encode (map-side, pre-shuffle). Returns None when the
     * feature is elided for this tile (empty MVT geometry / wyrm not
-    * contained). */
+    * contained). Kept as the one-shot API for tests; the engine plan uses
+    * a per-partition [[FeatureEncoder]] (same logic, reused buffers). */
   def encodeFeature(cfgE: EngineCfg, group: LayerGroup, fmt: String)
-                   (r: TileFeatRow): Option[FeatPayload] = {
-    val rank = r.layer_rank
-    val layer = group.layers(rank)
-    val tid = TileId.unpack(r.tile_id)
-    val tcfg = TileCfg(tid, cfgE.tileExtent, marginFor(fmt, tid.z))
-    val (values, rings) = RingCodec.unpackFeat(r.packed)
-    if (fmt == "mvt") {
-      val cmds = Encode.mvtGeometry(layer.geomTp, rings, tcfg)
-      if (cmds.isEmpty) None
-      else {
-        val gw = new ProtoWriter
-        var ci = 0
-        while (ci < cmds.length) { gw.writeVarint(cmds(ci)); ci += 1 }
-        val (tagIdx, tagVals) = Encode.mvtTagArrays(layer, values)
-        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
-          PayloadCodec.pack(found = true, gw.toBytes, tagIdx, tagVals,
-            "")))
-      }
-    } else {
-      val rendered: Option[(String, Boolean)] = layer.geomTp match {
-        case GeomTp.Point =>
-          Some((Encode.wyrmPoint(layer, values, rings, tcfg), true))
-        case GeomTp.Linestring =>
-          Encode.wyrmLinestring(layer, group.osm, values, rings, tcfg)
-            .map((_, true))
-        case GeomTp.Polygon =>
-          Encode.wyrmPolygon(layer, group.osm, values, rings, tcfg)
-            .map((_, true))
-      }
-      rendered.map { case (content, found) =>
-        FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
-          PayloadCodec.packWyrm(found, content))
-      }
-    }
-  }
+                   (r: TileFeatRow): Option[FeatPayload] =
+    new FeatureEncoder(cfgE, group, fmt).encode(r)
 
   /** Assemble one tile from its pre-encoded features, STREAMING over an
     * iterator already sorted by (layer_rank, kind_rank, id) — no
@@ -138,7 +106,8 @@ object Pyramid extends Serializable {
     * the feature count. */
   def assembleSorted(cfgE: EngineCfg, group: LayerGroup, fmt: String,
                      groupName: String, tileId: Long,
-                     sorted: Iterator[FeatPayload]): Iterator[TileRow] = {
+                     sorted: Iterator[FeatPayload],
+                     pool: MvtLayer = null): Iterator[TileRow] = {
     val tid = TileId.unpack(tileId)
     if (fmt == "mvt") {
       val layerBytes = scala.collection.mutable.ArrayBuffer
@@ -149,7 +118,11 @@ object Pyramid extends Serializable {
         if (p.layer_rank != curRank) {
           if (ml != null && ml.numFeatures > 0) layerBytes += ml.encode()
           curRank = p.layer_rank
-          ml = new MvtLayer(group.layers(curRank).name, cfgE.tileExtent)
+          // a reused pool (resetFor ≡ fresh dictionaries) amortizes the
+          // per-(tile, layer) builder allocation across the whole task
+          if (pool != null) { pool.resetFor(group.layers(curRank).name)
+            ml = pool }
+          else ml = new MvtLayer(group.layers(curRank).name, cfgE.tileExtent)
         }
         val layer = group.layers(curRank)
         val v = new PayloadCodec.View(p.blob)
@@ -313,18 +286,18 @@ object Pyramid extends Serializable {
     // the whole encode lineage per branch
     def enc(lo: Int, hi: Int) =
       coverJoin(spark, features, group, cfgE.tileExtent, fmt, lo, hi)
-        .flatMap(encodeFeature(cfgE, group, fmt) _)
-
-    def assemble(tid: Long, it: Iterator[FeatPayload]) =
-      assembleSorted(cfgE, group, fmt, groupName, tid, it)
+        .mapPartitions { it =>
+          // one reusable encoder per partition (buffers amortized across
+          // every (feature, zoom, tile) row — see FeatureEncoder)
+          val fe = new FeatureEncoder(cfgE, group, fmt)
+          it.flatMap(fe.encode)
+        }
 
     val branches = Seq.newBuilder[Dataset[TileRow]]
     if (zMax > SaltMaxZ)
       branches += enc(math.max(zMin, SaltMaxZ + 1), zMax)
         .groupByKey(_.tile_id)
-        .flatMapGroups { (tid: Long, rows: Iterator[FeatPayload]) =>
-          assemble(tid, sortPayloads(rows.toArray).iterator)
-        }
+        .flatMapGroups(new AssembleSingles(cfgE, group, fmt, groupName))
     if (zMin <= SaltMaxZ)
       branches += enc(zMin, math.min(zMax, SaltMaxZ))
         .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
@@ -332,13 +305,97 @@ object Pyramid extends Serializable {
           TilePartial(key._1, key._2, sortPayloads(rows.toArray))
         }
         .groupByKey(_.tile_id)
-        .flatMapGroups { (tid: Long, parts: Iterator[TilePartial]) =>
-          assemble(tid, mergeRuns(parts.map(_.feats).toSeq))
-        }
+        .flatMapGroups(new AssembleMerged(cfgE, group, fmt, groupName))
     branches.result().reduce(_ unionByName _)
+  }
+
+  /** flatMapGroups functions as named classes so each TASK (one
+    * deserialized instance per task closure) can hold a pooled
+    * [[MvtLayer]] reused across every (tile, layer) of the task —
+    * builder construction per (tile, layer) was ~4% of serial assembly
+    * CPU in a pv6 JFR profile. `resetFor` ≡ fresh dictionaries, so the
+    * bytes are identical (pinned by the sbt Oracle byte-parity suite). */
+  private final class AssembleSingles(cfgE: EngineCfg, group: LayerGroup,
+                                      fmt: String, groupName: String)
+      extends ((Long, Iterator[FeatPayload]) => Iterator[TileRow])
+      with Serializable {
+    @transient private lazy val pool =
+      if (fmt == "mvt") new MvtLayer("", cfgE.tileExtent) else null
+    def apply(tid: Long, rows: Iterator[FeatPayload]): Iterator[TileRow] =
+      assembleSorted(cfgE, group, fmt, groupName, tid,
+        sortPayloads(rows.toArray).iterator, pool)
+  }
+
+  private final class AssembleMerged(cfgE: EngineCfg, group: LayerGroup,
+                                     fmt: String, groupName: String)
+      extends ((Long, Iterator[TilePartial]) => Iterator[TileRow])
+      with Serializable {
+    @transient private lazy val pool =
+      if (fmt == "mvt") new MvtLayer("", cfgE.tileExtent) else null
+    def apply(tid: Long, parts: Iterator[TilePartial]): Iterator[TileRow] =
+      assembleSorted(cfgE, group, fmt, groupName, tid,
+        mergeRuns(parts.map(_.feats).toSeq), pool)
   }
 }
 
 /** One pre-sorted per-(tile, salt) run of feature payloads. */
 final case class TilePartial(tile_id: Long, salt: Int,
                              feats: Array[FeatPayload])
+
+/** Reusable per-partition feature encoder — the engine's map-side hot
+  * path, one instance per `mapPartitions` closure. A pv6 JFR profile put
+  * ~15% of serial pyramid CPU in per-row overhead this class removes:
+  * a fresh ProtoWriter + MvtGeomEncoder per (feature, zoom, tile) row
+  * (allocation + GC), the boxed command buffer, and the UTF-8 → String →
+  * UTF-8 round trip for tag values. MVT tag values now travel as raw
+  * byte slices from the [[RingCodec.packFeat]] blob straight into the
+  * payload ([[RingCodec.unpackFeatRaw]] → [[Encode.mvtTagSlices]] →
+  * [[PayloadCodec.packRaw]]); the wyrm branch still decodes Strings (its
+  * SVG rendering consumes them). Byte parity with the one-shot path is
+  * pinned by the sbt Oracle suite (old buffered API, z0-16 byte-exact). */
+final class FeatureEncoder(cfgE: EngineCfg, group: LayerGroup, fmt: String)
+    extends Serializable {
+  @transient private lazy val gw = new ProtoWriter
+  @transient private lazy val ge =
+    new MvtGeomEncoder(GeomTp.Point, BBox(0, 0, 0, 0), Affine())
+
+  def encode(r: TileFeatRow): Option[FeatPayload] = {
+    val rank = r.layer_rank
+    val layer = group.layers(rank)
+    val tid = TileId.unpack(r.tile_id)
+    val tcfg = TileCfg(tid, cfgE.tileExtent,
+      Pyramid.marginFor(fmt, tid.z))
+    if (fmt == "mvt") {
+      val (valOff, rings) = RingCodec.unpackFeatRaw(r.packed)
+      ge.reset(layer.geomTp, tcfg.bbox, tcfg.transform)
+      Encode.mvtAddRings(ge, layer.geomTp, rings, tcfg)
+      val cmds = ge.encode()
+      if (cmds.isEmpty) None
+      else {
+        gw.reset()
+        var ci = 0
+        while (ci < cmds.length) { gw.writeVarint(cmds(ci)); ci += 1 }
+        val (tagIdx, tagOff) = Encode.mvtTagSlices(layer, r.packed, valOff)
+        Some(FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
+          PayloadCodec.packRaw(found = true, gw.buffer, gw.size,
+            tagIdx, tagOff, r.packed)))
+      }
+    } else {
+      val (values, rings) = RingCodec.unpackFeat(r.packed)
+      val rendered: Option[(String, Boolean)] = layer.geomTp match {
+        case GeomTp.Point =>
+          Some((Encode.wyrmPoint(layer, values, rings, tcfg), true))
+        case GeomTp.Linestring =>
+          Encode.wyrmLinestring(layer, group.osm, values, rings, tcfg)
+            .map((_, true))
+        case GeomTp.Polygon =>
+          Encode.wyrmPolygon(layer, group.osm, values, rings, tcfg)
+            .map((_, true))
+      }
+      rendered.map { case (content, found) =>
+        FeatPayload(r.tile_id, rank, r.kind_rank, r.id,
+          PayloadCodec.packWyrm(found, content))
+      }
+    }
+  }
+}

@@ -95,6 +95,32 @@ object RingCodec {
     bb.array()
   }
 
+  @inline private[tile] def readIntLE(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+  /** (value-record offsets, rings) from a [[packFeat]] blob WITHOUT
+    * materializing the value Strings: offset i points at value i's
+    * [len:i32-LE][utf8] record (-1 = null value). The MVT encode path
+    * reads sint parsability and copies value bytes straight from the
+    * blob ([[Encode.mvtTagSlices]], [[PayloadCodec.packRaw]]); the
+    * per-row String round trip was ~8% of serial pyramid CPU at pv6. */
+  def unpackFeatRaw(b: Array[Byte]): (Array[Int], Array[Ring]) = {
+    val nv = readIntLE(b, 0)
+    val offs = new Array[Int](nv)
+    var p = 4
+    var i = 0
+    while (i < nv) {
+      val len = readIntLE(b, p)
+      if (len < 0) { offs(i) = -1; p += 4 }
+      else { offs(i) = p; p += 4 + len }
+      i += 1
+    }
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(p)
+    (offs, unpackRings(bb))
+  }
+
   /** (tag values with nulls, rings) from a [[packFeat]] blob. */
   def unpackFeat(b: Array[Byte]): (Array[String], Array[Ring]) = {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)

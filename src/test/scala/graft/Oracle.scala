@@ -212,7 +212,7 @@ object Oracle {
               featBBox(f).intersects(tcfg.bbox))
             .sortBy(f => (f.kind_rank, f.id))
             .foreach { f =>
-              val cmds = Encode.mvtGeometry(l.geomTp, f.rings, tcfg)
+              val cmds = Encode.mvtGeometry(l.geomTp, f.rings.toArray, tcfg)
               if (cmds.nonEmpty)
                 ml.addFeature(MvtFeature(l.geomTp, cmds,
                   Encode.mvtTags(l, f.values)))
