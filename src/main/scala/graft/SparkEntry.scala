@@ -691,6 +691,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => PipelineOps.dedupEmbedding(s, d)),
+    "dedup_embedding_clusters" ->
+      ((s, d) => PipelineOps.dedupEmbeddingClusters(s, d)),
     "ann_cosine_topk" -> ((s, d) => PipelineOps.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => PipelineOps.annIvfTopK(s, d)),
@@ -927,6 +929,51 @@ object SparkEntry {
            keep AS (SELECT band, sig FROM sig0
              GROUP BY 1, 2 HAVING count(*) <= 256),
            sig AS (SELECT s.* FROM sig0 s JOIN keep USING (band, sig))"""
+    // shared candidate + exact-cosine CTE chain for the embedding
+    // near-dup ops: random-hyperplane LSH re-derived from md5
+    // (plane(t,p,i) = first 8 md5 hex chars of "t:p:i" as u32 → [-1,1);
+    // exact in a double, so both engines see bit-identical planes),
+    // bucket = sign-of-dot bits, hot buckets (> 2048 =
+    // PipelineOps.AnnMaxBucket) dropped; planes-per-table 4 =
+    // annPlanesFor(500) at the driver's sf0.01
+    val embPairCtes =
+      """planes AS (
+             SELECT t.t, p.p,
+               list_transform(generate_series(0, 63), i ->
+                 list_sum(list_transform(generate_series(1, 8), k ->
+                   CAST(strpos('0123456789abcdef',
+                     substr(md5(t.t || ':' || p.p || ':' || i), k, 1)) - 1
+                     AS DOUBLE) * pow(16.0, 8 - k)))
+                 / 2147483648.0 - 1.0) AS pl
+             FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+                  (SELECT unnest(generate_series(0, 3)) AS p) p),
+           dots AS (SELECT e.vec_id, pl.t, pl.p,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> pl.pl[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+             FROM embeddings e, planes pl),
+           bkts AS (SELECT vec_id, t,
+               CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT)
+                 AS bkt
+             FROM dots GROUP BY 1, 2),
+           ekeep AS (SELECT t, bkt FROM bkts GROUP BY 1, 2
+             HAVING count(*) <= 2048),
+           kept AS (SELECT b.* FROM bkts b JOIN ekeep USING (t, bkt)),
+           cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM kept a JOIN kept b ON a.t = b.t AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id),
+           cosv AS (SELECT vec_a, vec_b,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(ea.embedding[i] AS DOUBLE)
+                      * CAST(eb.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(ea.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(eb.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+             FROM cand
+             JOIN embeddings ea ON ea.vec_id = vec_a
+             JOIN embeddings eb ON eb.vec_id = vec_b)"""
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1123,52 +1170,31 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
-      // random-hyperplane LSH re-derived from md5 (plane(t,p,i) = first 8
-      // md5 hex chars of "t:p:i" as u32 → [-1,1); exact in a double, so
-      // both engines see bit-identical planes), bucket = sign-of-dot bits,
-      // hot buckets (> 2048 = PipelineOps.AnnMaxBucket) dropped, exact
-      // cosine ≥ 0.40 on candidates; planes-per-table 4 =
-      // annPlanesFor(500) at the driver's sf0.01
+      // see embPairCtes above for the cross-engine plane derivation;
+      // exact cosine ≥ 0.40 gates the candidates
       "dedup_embedding" ->
-        """WITH planes AS (
-             SELECT t.t, p.p,
-               list_transform(generate_series(0, 63), i ->
-                 list_sum(list_transform(generate_series(1, 8), k ->
-                   CAST(strpos('0123456789abcdef',
-                     substr(md5(t.t || ':' || p.p || ':' || i), k, 1)) - 1
-                     AS DOUBLE) * pow(16.0, 8 - k)))
-                 / 2147483648.0 - 1.0) AS pl
-             FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
-                  (SELECT unnest(generate_series(0, 3)) AS p) p),
-           dots AS (SELECT e.vec_id, pl.t, pl.p,
-               list_sum(list_transform(generate_series(1, 64),
-                 i -> pl.pl[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
-             FROM embeddings e, planes pl),
-           bkts AS (SELECT vec_id, t,
-               CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT)
-                 AS bkt
-             FROM dots GROUP BY 1, 2),
-           keep AS (SELECT t, bkt FROM bkts GROUP BY 1, 2
-             HAVING count(*) <= 2048),
-           kept AS (SELECT b.* FROM bkts b JOIN keep USING (t, bkt)),
-           cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-             FROM kept a JOIN kept b ON a.t = b.t AND a.bkt = b.bkt
-               AND a.vec_id < b.vec_id),
-           cosv AS (SELECT vec_a, vec_b,
-               list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(ea.embedding[i] AS DOUBLE)
-                      * CAST(eb.embedding[i] AS DOUBLE))) /
-               (sqrt(list_sum(list_transform(generate_series(1, 64),
-                  i -> CAST(ea.embedding[i] AS DOUBLE)
-                       * CAST(ea.embedding[i] AS DOUBLE)))) *
-                sqrt(list_sum(list_transform(generate_series(1, 64),
-                  i -> CAST(eb.embedding[i] AS DOUBLE)
-                       * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
-             FROM cand
-             JOIN embeddings ea ON ea.vec_id = vec_a
-             JOIN embeddings eb ON eb.vec_id = vec_b)
-           SELECT vec_a, vec_b, round(cos, 6) AS cos_r
-           FROM cosv WHERE cos >= 0.40""",
+        (s"WITH $embPairCtes " +
+          """SELECT vec_a, vec_b, round(cos, 6) AS cos_r
+           FROM cosv WHERE cos >= 0.40"""),
+      // the same recursive transitive-closure oracle as dedup_clusters,
+      // composed over the embedding near-dup pairs
+      "dedup_embedding_clusters" ->
+        (s"WITH RECURSIVE $embPairCtes, " +
+          """pairs AS (SELECT vec_a, vec_b FROM cosv WHERE cos >= 0.40),
+           edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+             UNION SELECT vec_b, vec_a FROM pairs),
+           reach AS (SELECT src, dst FROM edges
+             UNION SELECT r.src, e.dst
+               FROM reach r JOIN edges e ON r.dst = e.src),
+           comp AS (SELECT src AS vec_id, least(src, min(dst)) AS keep_id
+             FROM reach GROUP BY src),
+           sizes AS (SELECT keep_id, count(*) AS cluster_n
+             FROM comp GROUP BY 1)
+           SELECT e.vec_id, coalesce(c.keep_id, e.vec_id) AS keep_id,
+             coalesce(s.cluster_n, CAST(1 AS BIGINT)) AS cluster_n
+           FROM embeddings e
+           LEFT JOIN comp c ON c.vec_id = e.vec_id
+           LEFT JOIN sizes s ON s.keep_id = c.keep_id"""),
       "ann_cosine_topk" ->
         """WITH dot AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
              list_sum(list_transform(generate_series(1, len(q.embedding)),

@@ -138,32 +138,64 @@ object PipelineOps {
 
   /** Near-dup CLUSTER RESOLUTION (VERDICT r3 #2) — the stage every real
     * training-data dedup ends with: LSH candidate pairs → connected
-    * components → one keeper per cluster. Pairs alone don't dedup
-    * anything; `(doc_id, keep_id)` does.
-    *
-    * Algorithm: iterative min-label propagation (Pregel-style) over the
-    * symmetrized pair graph. Each round every vertex takes the min of its
-    * own label and its neighbors' labels; `localCheckpoint` per round cuts
-    * the lineage exactly like the relation dep-closure loop (Dig). Rounds
-    * needed = component diameter — near-dup clusters are band-collision
-    * quasi-cliques (diameter ≈ 2-3), so the loop converges in a handful of
-    * shuffles at any corpus size; the edge list, not the corpus, is the
-    * working set. Convergence is detected with one cheap action per round
-    * (the label sum, monotonically decreasing, as decimal(38,0) so 10¹²
-    * 64-bit ids cannot overflow). A graph that hasn't converged by
-    * `maxIters` fails LOUDLY rather than returning wrong clusters — for
-    * adversarial long-chain graphs the documented scale-out is the
-    * large-star/small-star variant (alternation halves path lengths →
-    * O(log n) rounds), which this corpus shape does not need.
+    * components ([[minLabelComponents]]) → one keeper per cluster. Pairs
+    * alone don't dedup anything; `(doc_id, keep_id)` does.
     *
     * Output: one row per document — `keep_id` = min doc_id of its
     * component (itself when unpaired), `cluster_n` = component size. */
   def dedupClusters(spark: SparkSession, sfDir: String,
                     maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = dedupMinhashPairs(spark, sfDir).select($"doc_a", $"doc_b")
-    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").cache()
+    val comp = minLabelComponents(spark,
+      dedupMinhashPairs(spark, sfDir).select($"doc_a", $"doc_b"), maxIters)
+    documents(spark, sfDir).select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"keep_id", $"doc_id").as("keep_id"),
+        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
+  }
+
+  /** [[dedupClusters]] over the EMBEDDING near-dup pairs — the same
+    * keep-one-per-cluster tail composed onto [[dedupEmbedding]], so the
+    * embedding variant (like the MinHash one) ends in an actionable
+    * `(vec_id, keep_id)` instead of stopping at pairs. One row per
+    * vector; unpaired vectors keep themselves (cluster_n = 1). */
+  def dedupEmbeddingClusters(spark: SparkSession, sfDir: String,
+                             maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val comp = minLabelComponents(spark,
+      dedupEmbedding(spark, sfDir).select($"vec_a", $"vec_b"), maxIters)
+      .toDF("vec_id", "keep_id", "cluster_n")
+    embeddings(spark, sfDir).select($"vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"keep_id", $"vec_id").as("keep_id"),
+        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
+  }
+
+  /** Connected components of a candidate-pair graph by iterative
+    * min-label propagation (Pregel-style) — the shared tail of every
+    * dedup variant. Input: one row per undirected pair (a, b); output:
+    * one row per PAIRED id — (doc_id, keep_id = component min,
+    * cluster_n = component size). Each round every vertex takes the min
+    * of its own label and its neighbors'; `localCheckpoint` per round
+    * cuts the lineage exactly like the relation dep-closure loop (Dig).
+    * Rounds needed = component diameter — near-dup clusters are
+    * collision quasi-cliques (diameter ≈ 2-3), so the loop converges in
+    * a handful of shuffles at any corpus size; the edge list, not the
+    * corpus, is the working set. Convergence is detected with one cheap
+    * action per round (the label sum, monotonically decreasing, as
+    * decimal(38,0) so 10¹² 64-bit ids cannot overflow). A graph that
+    * hasn't converged by `maxIters` fails LOUDLY rather than returning
+    * wrong clusters — for adversarial long-chain graphs the documented
+    * scale-out is the large-star/small-star variant (alternation halves
+    * path lengths → O(log n) rounds), which this corpus shape does not
+    * need. */
+  private def minLabelComponents(spark: SparkSession, pairs: DataFrame,
+                                 maxIters: Int): DataFrame = {
+    import spark.implicits._
+    val p = pairs.toDF("a", "b")
+    val edges = p.union(p.select($"b", $"a")).toDF("src", "dst").cache()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
       .localCheckpoint()
@@ -187,17 +219,13 @@ object PipelineOps {
       it += 1
     }
     require(converged,
-      s"dedupClusters: not converged after $maxIters rounds — component " +
-        "diameter exceeds the cap; use the large-star/small-star variant")
+      s"minLabelComponents: not converged after $maxIters rounds — " +
+        "component diameter exceeds the cap; use the " +
+        "large-star/small-star variant")
     edges.unpersist()
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_n"))
-    val comp = labels.join(sizes, "label")
+    labels.join(sizes, "label")
       .select($"doc_id", $"label".as("keep_id"), $"cluster_n")
-    documents(spark, sfDir).select($"doc_id")
-      .join(comp, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"keep_id", $"doc_id").as("keep_id"),
-        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
   }
 
   /** Plane component (table t, plane p, dim i) for the embedding near-dup
