@@ -936,8 +936,8 @@ object SparkEntry {
     // bucket = sign-of-dot bits, hot buckets (> 2048 =
     // PipelineOps.AnnMaxBucket) dropped; planes-per-table 4 =
     // annPlanesFor(500) at the driver's sf0.01
-    val embPairCtes =
-      """planes AS (
+    def lshBucketCtes(nTables: Int) =
+      s"""planes AS (
              SELECT t.t, p.p,
                list_transform(generate_series(0, 63), i ->
                  list_sum(list_transform(generate_series(1, 8), k ->
@@ -945,7 +945,8 @@ object SparkEntry {
                      substr(md5(t.t || ':' || p.p || ':' || i), k, 1)) - 1
                      AS DOUBLE) * pow(16.0, 8 - k)))
                  / 2147483648.0 - 1.0) AS pl
-             FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+             FROM (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)
+                    t,
                   (SELECT unnest(generate_series(0, 3)) AS p) p),
            dots AS (SELECT e.vec_id, pl.t, pl.p,
                list_sum(list_transform(generate_series(1, 64),
@@ -957,8 +958,9 @@ object SparkEntry {
              FROM dots GROUP BY 1, 2),
            ekeep AS (SELECT t, bkt FROM bkts GROUP BY 1, 2
              HAVING count(*) <= 2048),
-           kept AS (SELECT b.* FROM bkts b JOIN ekeep USING (t, bkt)),
-           cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           kept AS (SELECT b.* FROM bkts b JOIN ekeep USING (t, bkt))"""
+    val embPairCtes = lshBucketCtes(8) +
+      """, cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
              FROM kept a JOIN kept b ON a.t = b.t AND a.bkt = b.bkt
                AND a.vec_id < b.vec_id),
            cosv AS (SELECT vec_a, vec_b,
@@ -974,6 +976,34 @@ object SparkEntry {
              FROM cand
              JOIN embeddings ea ON ea.vec_id = vec_a
              JOIN embeddings eb ON eb.vec_id = vec_b)"""
+    // ann_lsh_topk re-derivation: 16 tables (the op's default), query
+    // buckets NOT hot-filtered (only the posting-list side is — a query
+    // in a dropped bucket gets no candidates from that table), exact
+    // cosine on the raw embeddings, top-k by (cos DESC, vec_id)
+    val annLshOracle = s"WITH ${lshBucketCtes(16)}" +
+      """, q AS (SELECT vec_id AS query_id, t, bkt FROM bkts
+             WHERE vec_id % 50 = 0),
+           cand AS (SELECT DISTINCT q.query_id, k.vec_id
+             FROM kept k JOIN q ON k.t = q.t AND k.bkt = q.bkt
+             WHERE k.vec_id <> q.query_id),
+           cosv AS (SELECT query_id, c.vec_id,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(eq.embedding[i] AS DOUBLE)
+                      * CAST(ev.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(eq.embedding[i] AS DOUBLE)
+                       * CAST(eq.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(ev.embedding[i] AS DOUBLE)
+                       * CAST(ev.embedding[i] AS DOUBLE))))) AS cos
+             FROM cand c
+             JOIN embeddings eq ON eq.vec_id = c.query_id
+             JOIN embeddings ev ON ev.vec_id = c.vec_id)
+           SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+           FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rank FROM cosv)
+           WHERE rank <= 5"""
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1216,6 +1246,11 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, vec_id) AS rank FROM dot)
            WHERE rank <= 5""",
+      // the LSH ANN path, re-derived whole: md5 planes → sign buckets →
+      // hot-bucket fence → candidate union over 16 tables → exact cosine
+      // top-k. planes-per-table 4 = annPlanesFor(500) at the driver's
+      // sf0.01 (same hard-coded-parameter pattern as dedup_embedding).
+      "ann_lsh_topk" -> annLshOracle,
       "text_lang_id" ->
         """SELECT doc_id, lang,
              len(list_filter(string_split(text,' '), w -> w IN

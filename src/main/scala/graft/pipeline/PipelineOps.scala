@@ -453,9 +453,11 @@ object PipelineOps {
     * `planesPerTable = 0` (the default) derives ⌈log₂(n/512)⌉ from the
     * corpus count — a parquet footer count, no data scan. Posting lists
     * over `maxBucket` are dropped (degenerate duplicates; see
-    * [[AnnMaxBucket]]). Approximate — validated by a recall test against
-    * the brute-force baseline plus a hot-bucket cap test, not a SQL
-    * oracle. */
+    * [[AnnMaxBucket]]). Planes are the md5-derived [[embPlane]] doubles
+    * (shared with [[dedupEmbeddingDf]]), so the DuckDB oracle re-derives
+    * the buckets bit-identically and checks the WHOLE op exactly — the
+    * approximation is in the algorithm (recall < 1 vs brute force, still
+    * floor-gated by test), not in the check. */
   def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
                  nTables: Int = 16, planesPerTable: Int = 0,
                  dim: Int = 64,
@@ -469,23 +471,16 @@ object PipelineOps {
     import spark.implicits._
     val planes =
       if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
-    def planesLit(table: Int) = array(Array.tabulate(planes) {
-      p =>
-        array(Array.tabulate(dim) { i =>
-          val h = graft.ingest.SpanCodec.mix64(
-            (table.toLong * 7907L + p) * 131071L + i)
-          lit(h.toDouble / Long.MaxValue.toDouble)
-        }: _*)
-    }: _*)
-    def bucket(table: Int, e: Column): Column =
-      aggregate(
-        zip_with(planesLit(table),
-          sequence(lit(0), lit(planes - 1)), (pl, i) =>
-            when(aggregate(zip_with(pl, e,
-              (p, v) => p * v.cast("double")), lit(0.0), (a, v) => a + v)
-              > 0, pow(lit(2.0), i.cast("double")).cast("int"))
-              .otherwise(lit(0))),
-        lit(0), (acc, v) => acc + v)
+    // sign-of-dot bucket bits over the md5-derived planes; the dot
+    // accumulates in INDEX ORDER (aggregate over zip_with), mirrored by
+    // the oracle's list_sum(list_transform) — identical fold, identical
+    // IEEE doubles on both engines
+    def bucket(t: Int, e: Column): Column =
+      (0 until planes).map { p =>
+        val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
+        when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
+          lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
     val e = e0.select($"vec_id" +: $"embedding" +:
       (0 until nTables).map(t => bucket(t, $"embedding")
         .as(s"bkt$t")): _*).cache()
