@@ -1004,6 +1004,158 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, vec_id) AS rank FROM cosv)
            WHERE rank <= 5"""
+    // ann_ivf_topk re-derivation: the ENTIRE index build — L2
+    // normalization, md5-ordered training sample, 5 unrolled Lloyd
+    // iterations (assignment = argmin by (dist, c); re-mean accumulates
+    // member vectors in SAMPLE ORDER via list(ne ORDER BY ord) so the
+    // left-fold doubles match the driver's += loop bitwise; an empty
+    // cell keeps its centroid), full-corpus nearest-centroid assignment,
+    // hot-list fence, 8-probe selection and exact-cosine top-k — runs in
+    // SQL on bit-identical IEEE doubles. Constants are the op's derived
+    // values at the driver's sf0.01 (n=500): kC=16, sample cap 2048,
+    // nProbe=8, iters=5, maxList=4096.
+    // every CTE is MATERIALIZED: the centroid chain references each
+    // prior level twice (assignment + empty-cell fallback), so inlining
+    // would blow up 2^iters; materialized, the whole re-derivation runs
+    // in under a second
+    def ivfDistSql(ne: String, cent: String): String =
+      s"""list_sum(list_transform(generate_series(1, 64), i ->
+         ($ne[i] - $cent[i]) * ($ne[i] - $cent[i])))"""
+    val ivfNormCtes =
+      """nrm0 AS MATERIALIZED (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x ->
+             CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+         norm AS MATERIALIZED (SELECT vec_id, embedding,
+           list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS ne
+         FROM nrm0),
+         samp AS MATERIALIZED (SELECT vec_id, ne, row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ord
+         FROM norm QUALIFY ord <= 2048)"""
+    // one Lloyd round: argmin assignment by (dist, cluster), then
+    // per-cluster re-mean accumulating members in SAMPLE ORDER
+    // (list(ne ORDER BY ord) → left-fold list_sum = the driver's += loop)
+    def ivfIterCtes(cent: String, asg: String): String = (1 to 5).map {
+      j =>
+        val p = j - 1
+        s"""$asg$j AS MATERIALIZED (SELECT ord, ne, c FROM (
+           SELECT s.ord, s.ne, c.c,
+             row_number() OVER (PARTITION BY s.ord
+               ORDER BY ${ivfDistSql("s.ne", "c.cent")}, c.c) AS rnk
+           FROM samp s, $cent$p c) WHERE rnk = 1),
+         $cent$j AS MATERIALIZED (SELECT p.c,
+           CASE WHEN m.c IS NULL THEN p.cent ELSE m.cent END AS cent
+         FROM $cent$p p LEFT JOIN (
+           SELECT c, list_transform(generate_series(1, 64), i ->
+               list_sum(list_transform(vs, v -> v[i])) / cnt) AS cent
+           FROM (SELECT c, list(ne ORDER BY ord) AS vs, count(*) AS cnt
+                 FROM $asg$j GROUP BY c)) m ON m.c = p.c)"""
+    }.mkString(",\n")
+    def ivfCosTopK(asgRel: String, keys: String): String =
+      s"""cosv AS (SELECT p.query_id, a.vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(eq.embedding[i] AS DOUBLE)
+                  * CAST(a.embedding[i] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(eq.embedding[i] AS DOUBLE)
+                   * CAST(eq.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE))))) AS cos
+         FROM $asgRel a JOIN lkeep USING ($keys)
+         JOIN probes p USING ($keys)
+         JOIN embeddings eq ON eq.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+         FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rank FROM cosv)
+         WHERE rank <= 5"""
+    val annIvfOracle =
+      s"""WITH $ivfNormCtes,
+         cent0 AS MATERIALIZED (SELECT ord - 1 AS c, ne AS cent
+         FROM samp WHERE ord <= 16),
+         ${ivfIterCtes("cent", "asg")},
+         fasg AS MATERIALIZED (SELECT vec_id, embedding, c FROM (
+           SELECT n.vec_id, n.embedding, c.c,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY ${ivfDistSql("n.ne", "c.cent")}, c.c) AS rnk
+           FROM norm n, cent5 c) WHERE rnk = 1),
+         lkeep AS (SELECT c FROM fasg GROUP BY c
+           HAVING count(*) <= 4096),
+         probes AS (SELECT query_id, c FROM (
+           SELECT n.vec_id AS query_id, c.c,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY ${ivfDistSql("n.ne", "c.cent")}, c.c) AS pr
+           FROM norm n, cent5 c WHERE n.vec_id % 50 = 0)
+           WHERE pr <= 8),
+         ${ivfCosTopK("fasg", "c")}"""
+    // ann_ivf2_topk: the same machinery applied twice — coarse k-means
+    // (kCoarse=4 at sf0.01), sample partitioned by final coarse cell,
+    // per-cell fine k-means (≤4 lists each, init = first rows of the
+    // cell in sample order, empty coarse cell keeps its coarse centroid
+    // as the only fine list), two-level assignment and 3×3 probes.
+    val ivf2FineIters = (1 to 5).map { j =>
+      val p = j - 1
+      s"""fsg$j AS MATERIALIZED (SELECT cell, ord, ne, f FROM (
+           SELECT s.cell, s.ord, s.ne, c.f,
+             row_number() OVER (PARTITION BY s.cell, s.ord
+               ORDER BY ${ivfDistSql("s.ne", "c.cent")}, c.f) AS rnk
+           FROM sampc s JOIN fcent$p c ON c.cell = s.cell)
+           WHERE rnk = 1),
+         fcent$j AS MATERIALIZED (SELECT p.cell, p.f,
+           CASE WHEN m.f IS NULL THEN p.cent ELSE m.cent END AS cent
+         FROM fcent$p p LEFT JOIN (
+           SELECT cell, f, list_transform(generate_series(1, 64), i ->
+               list_sum(list_transform(vs, v -> v[i])) / cnt) AS cent
+           FROM (SELECT cell, f, list(ne ORDER BY ord) AS vs,
+                   count(*) AS cnt
+                 FROM fsg$j GROUP BY cell, f)) m
+           ON m.cell = p.cell AND m.f = p.f)"""
+    }.mkString(",\n")
+    val annIvf2Oracle =
+      s"""WITH $ivfNormCtes,
+         ccent0 AS MATERIALIZED (SELECT ord - 1 AS c, ne AS cent
+         FROM samp WHERE ord <= 4),
+         ${ivfIterCtes("ccent", "casg")},
+         sampc AS MATERIALIZED (SELECT ord, ne, cell FROM (
+           SELECT s.ord, s.ne, c.c AS cell,
+             row_number() OVER (PARTITION BY s.ord
+               ORDER BY ${ivfDistSql("s.ne", "c.cent")}, c.c) AS rnk
+           FROM samp s, ccent5 c) WHERE rnk = 1),
+         finit AS MATERIALIZED (SELECT cell, ord, ne, row_number() OVER (
+           PARTITION BY cell ORDER BY ord) AS fr FROM sampc),
+         fcent0 AS MATERIALIZED (SELECT cell, fr - 1 AS f, ne AS cent
+         FROM finit WHERE fr <= 4),
+         $ivf2FineIters,
+         fcent AS MATERIALIZED (SELECT cell, f, cent FROM fcent5
+           UNION ALL SELECT c.c AS cell, 0 AS f, c.cent FROM ccent5 c
+           WHERE c.c NOT IN (SELECT DISTINCT cell FROM fcent5)),
+         coarse_asg AS MATERIALIZED (SELECT vec_id, embedding, ne, c
+           FROM (SELECT n.vec_id, n.embedding, n.ne, c.c,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY ${ivfDistSql("n.ne", "c.cent")}, c.c) AS rnk
+           FROM norm n, ccent5 c) WHERE rnk = 1),
+         fine_asg AS MATERIALIZED (SELECT vec_id, embedding, c, f FROM (
+           SELECT a.vec_id, a.embedding, a.c, fc.f,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY ${ivfDistSql("a.ne", "fc.cent")}, fc.f) AS rnk
+           FROM coarse_asg a JOIN fcent fc ON fc.cell = a.c)
+           WHERE rnk = 1),
+         lkeep AS (SELECT c, f FROM fine_asg GROUP BY c, f
+           HAVING count(*) <= 4096),
+         pcell AS MATERIALIZED (SELECT query_id, ne, c FROM (
+           SELECT n.vec_id AS query_id, n.ne, c.c,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY ${ivfDistSql("n.ne", "c.cent")}, c.c) AS pr
+           FROM norm n, ccent5 c WHERE n.vec_id % 50 = 0)
+           WHERE pr <= 3),
+         probes AS (SELECT query_id, c, f FROM (
+           SELECT p.query_id, p.c, fc.f,
+             row_number() OVER (PARTITION BY p.query_id, p.c
+               ORDER BY ${ivfDistSql("p.ne", "fc.cent")}, fc.f) AS pr
+           FROM pcell p JOIN fcent fc ON fc.cell = p.c) WHERE pr <= 3),
+         ${ivfCosTopK("fine_asg", "c, f")}"""
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1251,6 +1403,11 @@ object SparkEntry {
       // top-k. planes-per-table 4 = annPlanesFor(500) at the driver's
       // sf0.01 (same hard-coded-parameter pattern as dedup_embedding).
       "ann_lsh_topk" -> annLshOracle,
+      // the single-level IVF path, re-derived whole (see annIvfOracle
+      // doc above): constants are the op's derived sf0.01 values.
+      "ann_ivf_topk" -> annIvfOracle,
+      // the two-level IVF path, same machinery applied coarse then fine
+      "ann_ivf2_topk" -> annIvf2Oracle,
       "text_lang_id" ->
         """SELECT doc_id, lang,
              len(list_filter(string_split(text,' '), w -> w IN

@@ -396,7 +396,7 @@ object PipelineOps {
         AnnTargetList).toInt))
 
   /** Driver-side Lloyd iterations on a bounded sample — deterministic
-    * (init = first k sample rows in xxhash64 order, fixed iteration
+    * (init = first k sample rows in md5-of-id order, fixed iteration
     * count, empty cells keep their centroid). Shared by the one- and
     * two-level IVF builds; the sample is constant-size at any corpus
     * scale, so this is O(sample·k·dim) driver CPU, never data-scale. */
@@ -514,15 +514,18 @@ object PipelineOps {
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a small
     * deterministic coarse quantizer (k-means trained DRIVER-SIDE on a
-    * fixed-size sample selected by xxhash64 order — the standard
+    * fixed-size sample selected by md5-of-id order — the standard
     * train-on-sample pattern, so quantizer cost is constant in the corpus
     * size and fully deterministic), vectors assigned to their nearest
     * centroid (the inverted lists), queries probe the nProbe nearest
     * lists only. Centroids are tiny (nClusters × dim) and live in the
     * plan as literals — the assignment is a map-side expression, the
     * inverted-list join a bucket equi-join; nothing driver-side grows
-    * with the corpus. Approximate: validated by a recall floor against
-    * the brute-force baseline, like LSH. */
+    * with the corpus. Approximate in ALGORITHM (recall < 1 vs brute
+    * force, floor-gated by test) but exactly CHECKED: the md5-ordered
+    * sample makes the whole index build re-derivable in SQL, and the
+    * DuckDB oracle unrolls the Lloyd iterations on bit-identical IEEE
+    * doubles (see SparkEntry.annIvfOracle). */
   def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
                  nClusters: Int = 0, nProbe: Int = 8,
                  iters: Int = 5, sampleSize: Int = 0,
@@ -557,9 +560,12 @@ object PipelineOps {
       array(cs.map(c => array(c.map(lit): _*)): _*)
     def l2(a: Column, b: Column): Column = l2Sq(a, b)
 
-    // deterministic training sample (xxhash64 is a fixed-seed built-in)
+    // deterministic training sample, ordered by md5 of the id rendered
+    // as a string — the one hash both engines share, so the DuckDB
+    // oracle re-derives the sample (and through it the whole quantizer)
+    // bit-identically
     val sample: Array[Array[Double]] = e0
-      .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
       .limit(wantSample)
       .select($"ne")
       .collect()
@@ -652,8 +658,11 @@ object PipelineOps {
     * paying at 64 centroids, and at 16M fine rows the fine join becomes
     * a shuffle equi-join on the coarse cell, same plan shape. Queries
     * probe `nProbeCoarse` cells then `nProbeFine` lists per probed cell.
-    * Approximate — recall-floor-gated against brute force like LSH/IVF,
-    * plus probe-all ≡ brute-force and hot-list fence tests. */
+    * Approximate in algorithm — recall-floor-gated against brute force
+    * like LSH/IVF, plus probe-all ≡ brute-force and hot-list fence
+    * tests — and, like single-level IVF, exactly checked: the DuckDB
+    * oracle re-derives both quantizer levels bit-identically
+    * (SparkEntry.annIvf2Oracle). */
   def annIvf2TopK(spark: SparkSession, sfDir: String, k: Int = 5,
                   nCoarse: Int = 0, nFine: Int = 0,
                   nProbeCoarse: Int = 3, nProbeFine: Int = 3,
@@ -688,7 +697,7 @@ object PipelineOps {
       else math.min(65536, math.max(2048, 32 * wantCoarse))
 
     val sample: Array[Array[Double]] = e0
-      .orderBy(abs(xxhash64($"vec_id")), $"vec_id")
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
       .limit(wantSample)
       .select($"ne")
       .collect()
