@@ -687,6 +687,10 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       ((s, d) => PipelineOps.dedupMinhashPairs(s, d)),
     "dedup_simhash" -> ((s, d) => PipelineOps.dedupSimhash(s, d)),
+    "dedup_simhash_pairs" ->
+      ((s, d) => PipelineOps.dedupSimhashPairs(s, d)),
+    "dedup_simhash_clusters" ->
+      ((s, d) => PipelineOps.dedupSimhashClusters(s, d)),
     "dedup_ngram_jaccard" ->
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
@@ -929,6 +933,45 @@ object SparkEntry {
            keep AS (SELECT band, sig FROM sig0
              GROUP BY 1, 2 HAVING count(*) <= 256),
            sig AS (SELECT s.* FROM sig0 s JOIN keep USING (band, sig))"""
+    // shared CTE chain for the 64-bit SimHash near-dup ops: four 16-bit
+    // block values per doc (same bit convention as dedup_simhash, over
+    // the first 16 md5 hex chars), MaxBucket fence on (block, value)
+    // posting lists for candidate generation, exact hamming <= 3 verify
+    // over ALL four blocks (the fence gates candidates only) — mirrors
+    // PipelineOps.dedupSimhashPairs
+    val simhashPairCtes =
+      """sw AS (SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS w
+             FROM documents),
+           sh16 AS (SELECT doc_id, substr(md5(w), 1, 16) AS h16 FROM sw),
+           sbits AS (SELECT doc_id, b.b,
+             sum(((strpos('0123456789abcdef',
+               substr(h16, (b.b // 4) + 1, 1)) - 1) >> (3 - (b.b % 4)))
+               & 1) * 2 - count(*) AS s
+             FROM sh16, (SELECT unnest(generate_series(0, 63)) AS b) b
+             GROUP BY doc_id, b.b),
+           sblk AS (SELECT doc_id, b // 16 AS blk,
+             CAST(sum(CASE WHEN s > 0 THEN 1 << (b % 16) ELSE 0 END)
+               AS INT) AS v
+             FROM sbits GROUP BY doc_id, b // 16),
+           skeep AS (SELECT blk, v FROM sblk
+             GROUP BY 1, 2 HAVING count(*) <= 256),
+           sposts AS (SELECT s.* FROM sblk s JOIN skeep USING (blk, v)),
+           scand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_blocks
+             FROM sposts a JOIN sposts b USING (blk, v)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           sham AS (SELECT c.doc_a, c.doc_b,
+               CAST(sum((xor(ba.v, bb.v) >> j.j) & 1) AS INT) AS hamming
+             FROM scand c
+             JOIN sblk ba ON ba.doc_id = c.doc_a
+             JOIN sblk bb ON bb.doc_id = c.doc_b AND bb.blk = ba.blk,
+             (SELECT unnest(generate_series(0, 15)) AS j) j
+             GROUP BY 1, 2),
+           spairs AS (SELECT c.doc_a, c.doc_b, h.hamming, c.n_blocks
+             FROM scand c JOIN sham h
+               ON h.doc_a = c.doc_a AND h.doc_b = c.doc_b
+             WHERE h.hamming <= 3)"""
     // shared candidate + exact-cosine CTE chain for the embedding
     // near-dup ops: random-hyperplane LSH re-derived from md5
     // (plane(t,p,i) = first 8 md5 hex chars of "t:p:i" as u32 → [-1,1);
@@ -1329,6 +1372,26 @@ object SparkEntry {
              CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT)
                AS simhash16
            FROM bits GROUP BY doc_id""",
+      "dedup_simhash_pairs" ->
+        (s"WITH $simhashPairCtes " +
+          "SELECT doc_a, doc_b, hamming, n_blocks FROM spairs"),
+      "dedup_simhash_clusters" ->
+        (s"WITH RECURSIVE $simhashPairCtes, " +
+          """sedges AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
+               UNION SELECT doc_b, doc_a FROM spairs),
+             sreach AS (SELECT src, dst FROM sedges
+               UNION SELECT r.src, e.dst
+                 FROM sreach r JOIN sedges e ON r.dst = e.src),
+             scomp AS (SELECT src AS doc_id,
+                 least(src, min(dst)) AS keep_id
+               FROM sreach GROUP BY src),
+             ssizes AS (SELECT keep_id, count(*) AS cluster_n
+               FROM scomp GROUP BY 1)
+             SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
+               coalesce(s.cluster_n, CAST(1 AS BIGINT)) AS cluster_n
+             FROM documents d
+             LEFT JOIN scomp c ON c.doc_id = d.doc_id
+             LEFT JOIN ssizes s ON s.keep_id = c.keep_id"""),
       "dedup_ngram_jaccard" ->
         """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),

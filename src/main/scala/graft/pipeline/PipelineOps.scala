@@ -107,6 +107,96 @@ object PipelineOps {
     agg.select($"doc_id", sim.as("simhash16"))
   }
 
+  /** Max hamming distance for [[dedupSimhashPairs]]. With a 64-bit
+    * fingerprint split into 4 16-bit blocks, any pair within hamming 3
+    * differs in at most 3 blocks, so at least one block matches exactly
+    * (pigeonhole — Manku/Jain/Sarma, WWW'07 §3): block-equality candidate
+    * generation is COMPLETE at this radius, making the op exact (the set
+    * of all hamming ≤ 3 pairs) wherever the [[MaxBucket]] fence does not
+    * bind. */
+  val SimhashHammingMax = 3
+
+  /** 64-bit SimHash per doc, materialized as four 16-bit block values
+    * (b0..b3, each 0..65535 — int-safe in every engine, no sign-bit
+    * games). Same bit convention as [[dedupSimhash]], taken over the
+    * first 16 hex chars of md5(word). */
+  def dedupSimhashBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val w = d.select($"doc_id", explode(array_distinct(words($"text")))
+      .as("w"))
+      .withColumn("h16", substring(md5($"w"), 1, 16))
+    val bitCols = (0 until 64).map { b =>
+      val hexChar = substring($"h16", b / 4 + 1, 1)
+      val nib = conv(hexChar, 16, 10).cast("int")
+      val bit = shiftright(nib, 3 - b % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val agg = w.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val blocks = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"s${k * 16 + j}") > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"b$k")
+    }
+    agg.select(($"doc_id" +: blocks): _*)
+  }
+
+  /** SimHash near-dup pairs: block-equality LSH over the 64-bit
+    * fingerprint (4 tables of 16 bits), [[MaxBucket]] hot fence, then an
+    * EXACT hamming verify ≤ [[SimhashHammingMax]] — the same
+    * candidates→fence→exact-verify shape as [[dedupMinhashPairs]] /
+    * [[dedupEmbedding]], but with guaranteed recall 1 at the radius
+    * (see [[SimhashHammingMax]]) instead of probabilistic recall.
+    *
+    * Scale shape: one scan builds the fingerprints (64 partial-agg sums),
+    * a capped equi-join per (block index, value) generates candidates,
+    * hamming runs only on candidate pairs. Exact duplicates beyond the
+    * fence are [[dedupExact]]'s regime, as with every pair op here. */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blk = dedupSimhashBlocks(spark, sfDir)
+      .cache() // one fingerprint build shared by candidates + verify
+    val posts = blk.select($"doc_id",
+      posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "v")))
+    val keep = posts.groupBy($"blk", $"v")
+      .agg(count(lit(1)).as("bc"))
+      .where($"bc" <= MaxBucket)
+      .select($"blk", $"v")
+    val f = posts.join(keep, Seq("blk", "v"))
+    val cand = f.as("a").join(f.as("b"), Seq("blk", "v"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_blocks"))
+    // hamming over ALL four blocks (the fence gates candidates only)
+    val ba = blk.select(($"doc_id".as("doc_a") +:
+      (0 until 4).map(k => col(s"b$k").as(s"a$k"))): _*)
+    val bb = blk.select(($"doc_id".as("doc_b") +:
+      (0 until 4).map(k => col(s"b$k").as(s"bb$k"))): _*)
+    val ham = (0 until 4).flatMap { k =>
+      val x = col(s"a$k").bitwiseXOR(col(s"bb$k"))
+      (0 until 16).map(j => shiftright(x, j).bitwiseAND(lit(1)))
+    }.reduce(_ + _).cast("int")
+    cand.join(ba, "doc_a").join(bb, "doc_b")
+      .withColumn("hamming", ham)
+      .where($"hamming" <= SimhashHammingMax)
+      .select($"doc_a", $"doc_b", $"hamming", $"n_blocks")
+  }
+
+  /** [[dedupClusters]] over the SimHash pairs — keep-one-per-cluster for
+    * the hamming-radius near-dup definition. One row per document;
+    * unpaired documents keep themselves. */
+  def dedupSimhashClusters(spark: SparkSession, sfDir: String,
+                           maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val comp = minLabelComponents(spark,
+      dedupSimhashPairs(spark, sfDir).select($"doc_a", $"doc_b"), maxIters)
+    documents(spark, sfDir).select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"keep_id", $"doc_id").as("keep_id"),
+        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
+  }
+
   /** n-gram Jaccard near-dup pairs (2-shingles, τ = 0.5) via shingle join —
     * set sizes from per-doc distinct counts, no cross join. Shingles with
     * document frequency > [[MaxBucket]] (stop-shingles — the hot join keys

@@ -181,9 +181,14 @@ class OpsSpec extends AnyFunSuite {
       .count()
     val jac = graft.pipeline.PipelineOps.dedupNgramJaccard(spark, dir)
       .count()
+    // identical docs → identical simhash blocks → every (blk, v) bucket
+    // has 1000 members > MaxBucket → fenced → 0 candidate pairs
+    val sp = graft.pipeline.PipelineOps.dedupSimhashPairs(spark, dir)
+      .count()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(pairs == 0L, s"pairs=$pairs")
     assert(jac == 0L, s"jaccard pairs=$jac")
+    assert(sp == 0L, s"simhash pairs=$sp")
     // 1000² = 1M-row pair explosions would take far longer than this
     assert(sec < 60.0, s"took $sec s")
     // the identical docs ARE still caught — by exact dedup
@@ -394,6 +399,70 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     // the clusters actually resolved: at least one multi-doc component
     assert(got.exists(_._3 >= 4L), "no cluster of the 4 variants formed")
+  }
+
+  test("simhash pairs == brute force; block-LSH complete at hamming 3") {
+    val sf = "/root/testdata/sf0.001"
+    val blocks = graft.pipeline.PipelineOps.dedupSimhashBlocks(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // driver-side mirror of the MaxBucket fence
+    val bc = scala.collection.mutable.Map
+      .empty[(Int, Int), Int].withDefaultValue(0)
+    for ((_, bs) <- blocks; k <- 0 until 4) bc((k, bs(k))) += 1
+    val cap = graft.pipeline.PipelineOps.MaxBucket
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    val ids = blocks.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      shared = (0 until 4).count(k =>
+        blocks(a)(k) == blocks(b)(k) && bc((k, blocks(a)(k))) <= cap)
+      h = ham(blocks(a), blocks(b))
+      if shared > 0 && h <= graft.pipeline.PipelineOps.SimhashHammingMax
+    } yield (a, b, h, shared.toLong)).toSet
+    val got = graft.pipeline.PipelineOps.dedupSimhashPairs(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty, "sf0.001 produced no simhash pairs")
+    assert(got == want)
+    // no bucket is hot on this corpus, so the pigeonhole guarantee makes
+    // block-LSH COMPLETE at the radius: got == ALL hamming<=3 pairs
+    assert(!bc.valuesIterator.exists(_ > cap), "fence unexpectedly binds")
+    val all3 = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      if ham(blocks(ids(i)), blocks(ids(j))) <=
+        graft.pipeline.PipelineOps.SimhashHammingMax
+    } yield (ids(i), ids(j))).toSet
+    assert(got.map(t => (t._1, t._2)) == all3)
+  }
+
+  test("simhash clusters: identical-doc groups keep one per cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shc").toString
+    // 5 groups of 3 IDENTICAL docs (hamming 0, far under the fence);
+    // vocab fully disjoint across groups so cross-group fingerprints are
+    // independent md5 bits (expected hamming ~32, never <= 3)
+    val docs = (0 until 5).flatMap { g =>
+      val text = (0 until 16).map(w => s"w${g}x$w").mkString(" ")
+      (0 until 3).map(v => (g * 10 + v.toLong, text, "en"))
+    } ++ (100 until 105).map { i =>
+      (i.toLong, (0 until 16).map(w => s"u${i}y$w").mkString(" "), "en")
+    }
+    docs.toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.dedupSimhashClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = docs.map(_._1).map { id =>
+      if (id < 100L) (id, (id / 10L) * 10L, 3L) else (id, id, 1L)
+    }.toSet
+    assert(got == want)
   }
 
   test("embedding dedup clusters == independent driver union-find") {
