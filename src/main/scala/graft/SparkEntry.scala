@@ -693,6 +693,8 @@ object SparkEntry {
       ((s, d) => PipelineOps.dedupSimhashClusters(s, d)),
     "dedup_ngram_jaccard" ->
       ((s, d) => PipelineOps.dedupNgramJaccard(s, d)),
+    "dedup_ngram_jaccard_clusters" ->
+      ((s, d) => PipelineOps.dedupNgramJaccardClusters(s, d)),
     "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => PipelineOps.dedupEmbedding(s, d)),
     "dedup_embedding_clusters" ->
@@ -972,6 +974,32 @@ object SparkEntry {
              FROM scand c JOIN sham h
                ON h.doc_a = c.doc_a AND h.doc_b = c.doc_b
              WHERE h.hamming <= 3)"""
+    // shared CTE chain for the n-gram Jaccard near-dup ops: 2-shingles,
+    // stop-shingle cap (PipelineOps.MaxBucket), shingle equi-join,
+    // exact Jaccard >= 0.5 — mirrors PipelineOps.dedupNgramJaccard
+    val jaccardPairCtes =
+      """jws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           jsh0 AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM jws)),
+           jkeep AS (SELECT sh FROM jsh0 GROUP BY 1
+             HAVING count(*) <= 256),
+           jsh AS (SELECT s.* FROM jsh0 s JOIN jkeep USING (sh)),
+           jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY 1),
+           jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter
+             FROM jsh a JOIN jsh b ON a.sh = b.sh
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           jpairs AS (SELECT doc_a, doc_b, inter, sa.n AS na,
+               sb.n AS nb,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+             FROM jinter
+             JOIN jsizes sa ON sa.doc_id = doc_a
+             JOIN jsizes sb ON sb.doc_id = doc_b
+             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+               >= 0.5)"""
     // shared candidate + exact-cosine CTE chain for the embedding
     // near-dup ops: random-hyperplane LSH re-derived from md5
     // (plane(t,p,i) = first 8 md5 hex chars of "t:p:i" as u32 → [-1,1);
@@ -1393,28 +1421,28 @@ object SparkEntry {
              LEFT JOIN scomp c ON c.doc_id = d.doc_id
              LEFT JOIN ssizes s ON s.keep_id = c.keep_id"""),
       "dedup_ngram_jaccard" ->
-        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-             FROM documents),
-           sh0 AS (SELECT DISTINCT doc_id, sh FROM (
-             SELECT doc_id, unnest(list_transform(
-               generate_series(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1])) AS sh FROM ws)),
-           -- stop-shingle cap, mirrored from PipelineOps.MaxBucket
-           keep AS (SELECT sh FROM sh0 GROUP BY 1
-             HAVING count(*) <= 256),
-           sh AS (SELECT s.* FROM sh0 s JOIN keep USING (sh)),
-           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS inter
-             FROM sh a JOIN sh b ON a.sh = b.sh
-             WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-           SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
-             round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
-               AS jaccard_r
-           FROM inter
-           JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+        (s"WITH $jaccardPairCtes " +
+          """SELECT doc_a, doc_b, inter, na, nb,
+               round(jac, 6) AS jaccard_r FROM jpairs"""),
+      // the same recursive transitive-closure oracle as dedup_clusters,
+      // composed over the Jaccard near-dup pairs
+      "dedup_ngram_jaccard_clusters" ->
+        (s"WITH RECURSIVE $jaccardPairCtes, " +
+          """jedges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+               UNION SELECT doc_b, doc_a FROM jpairs),
+             jreach AS (SELECT src, dst FROM jedges
+               UNION SELECT r.src, e.dst
+                 FROM jreach r JOIN jedges e ON r.dst = e.src),
+             jcomp AS (SELECT src AS doc_id,
+                 least(src, min(dst)) AS keep_id
+               FROM jreach GROUP BY src),
+             jcsizes AS (SELECT keep_id, count(*) AS cluster_n
+               FROM jcomp GROUP BY 1)
+             SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
+               coalesce(s.cluster_n, CAST(1 AS BIGINT)) AS cluster_n
+             FROM documents d
+             LEFT JOIN jcomp c ON c.doc_id = d.doc_id
+             LEFT JOIN jcsizes s ON s.keep_id = c.keep_id"""),
       // see embPairCtes above for the cross-engine plane derivation;
       // exact cosine ≥ 0.40 gates the candidates
       "dedup_embedding" ->

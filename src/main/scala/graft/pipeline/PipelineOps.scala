@@ -245,6 +245,24 @@ object PipelineOps {
         coalesce($"cluster_n", lit(1L)).as("cluster_n"))
   }
 
+  /** [[dedupClusters]] over the n-gram Jaccard pairs — keep-one-per-
+    * cluster for the τ ≥ 0.5 shingle-overlap near-dup definition, so
+    * every dedup variant in the library (exact / MinHash / SimHash /
+    * n-gram Jaccard / embedding) ends in an actionable `(doc_id,
+    * keep_id)`. One row per document; unpaired documents keep
+    * themselves (cluster_n = 1). */
+  def dedupNgramJaccardClusters(spark: SparkSession, sfDir: String,
+                                maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val comp = minLabelComponents(spark,
+      dedupNgramJaccard(spark, sfDir).select($"doc_a", $"doc_b"), maxIters)
+    documents(spark, sfDir).select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"keep_id", $"doc_id").as("keep_id"),
+        coalesce($"cluster_n", lit(1L)).as("cluster_n"))
+  }
+
   /** [[dedupClusters]] over the EMBEDDING near-dup pairs — the same
     * keep-one-per-cluster tail composed onto [[dedupEmbedding]], so the
     * embedding variant (like the MinHash one) ends in an actionable

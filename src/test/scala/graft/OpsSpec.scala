@@ -506,6 +506,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 >= 2L), "no embedding cluster resolved")
   }
 
+  test("jaccard dedup clusters == independent driver union-find") {
+    val sf = "/root/testdata/sf0.01"
+    val pairs = graft.pipeline.PipelineOps.dedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf0.01 produced no jaccard near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p)
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byRoot = members.groupBy(find)
+    val keepOf = byRoot.toSeq.flatMap { case (_, ms) =>
+      val k = ms.min; ms.map(_ -> k).toSeq
+    }.toMap
+    val sizeOf = byRoot.toSeq.flatMap { case (_, ms) =>
+      ms.map(_ -> ms.length.toLong).toSeq
+    }.toMap
+    val universe = graft.pipeline.PipelineOps.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = universe.map(id =>
+      (id, keepOf.getOrElse(id, id), sizeOf.getOrElse(id, 1L))).toSet
+    val got = graft.pipeline.PipelineOps
+      .dedupNgramJaccardClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(got.exists(_._3 >= 2L), "no jaccard cluster resolved")
+  }
+
   test("two-level IVF recall vs brute force ≥ 0.7 on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val exact = graft.pipeline.PipelineOps.annCosineTopK(spark, sf)
