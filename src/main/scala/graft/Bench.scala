@@ -16,12 +16,18 @@ import graft.ingest.CorpusGen
   * generation is distributed (spark.range → flatMap), so the measured
   * wall-clock is the engine, not a driver-side generator.
   *
-  * Output: ONE machine-readable JSON line, printed as the LAST stdout line
-  * (after spark.stop(), so no executor log noise can follow it) and also
-  * written to `data/bench_local.json`. All numbers are formatted with
-  * Locale.ROOT — the f-interpolator is locale-sensitive and a comma-decimal
-  * JVM locale would emit unparseable JSON (round-1 driver recorded
-  * parsed:null).
+  * Output (VERDICT r4 #1): the FULL evidence record (per-rep times, load
+  * fields, embedded scaling ladder — grew past 3 KB in r4 and overflowed
+  * the harness's 2,000-char stdout tail, blinding the gate) is written to
+  * `data/bench_local.json` and printed first; the LAST stdout line (after
+  * spark.stop(), so no executor log noise can follow it) is a compact
+  * ≤ 1 KB summary — metric/value/unit, dig, max task, the three ANN
+  * recalls, both scaling efficiencies, headline per-query seconds, and
+  * the full-record path — so the captured tail always ends in one
+  * parseable headline no matter how many evidence fields the full record
+  * grows. All numbers are formatted with Locale.ROOT — the f-interpolator
+  * is locale-sensitive and a comma-decimal JVM locale would emit
+  * unparseable JSON (round-1 driver recorded parsed:null).
   *
   * Scaling evidence (north rule, N vs 4N): `ScalingBench` writes
   * `data/scaling.json`; when present its content is embedded verbatim under
@@ -31,6 +37,16 @@ object Bench {
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Run one table op, returning Right(elapsed seconds) or Left(exception
+    * class name). A swallowed failure used to read as a silent "-1.0" in
+    * the record (VERDICT r4 wrong #4); the class name now lands in a
+    * `<name>_err` field beside the -1.0 sentinel. */
+  private[graft] def timeOrErr(f: => Unit): Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try { f; Right((System.nanoTime() - t0) / 1e9) }
+    catch { case e: Throwable => Left(e.getClass.getName) }
+  }
 
   // ---- host-load evidence (VERDICT r3 #3): rounds 2-3 both attributed
   // slow reps to external VM load, but the gate artifact carried no
@@ -200,10 +216,18 @@ object Bench {
       "dedup_simhash_pairs", "dedup_embedding",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf2_topk",
       "knn_join", "j4_cover_explode", "text_quality")
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     tableOps.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        try timed(name) { fn(spark, sfDir).count() }
-        catch { case _: Throwable => results(name) = -1.0 }
+        timed(name) {
+          timeOrErr { fn(spark, sfDir).count(); () } match {
+            case Right(_) => ()
+            case Left(cls) => errs(name) = cls
+          }
+        }
+        // a failed op's wall time is the time-to-failure, not a
+        // measurement — overwrite with the sentinel, keep the load fields
+        if (errs.contains(name)) results(name) = -1.0
       }
     }
 
@@ -227,15 +251,20 @@ object Bench {
     val ivfRecall = recallOf("ann_ivf_topk")
     val ivf2Recall = recallOf("ann_ivf2_topk")
 
-    val qs = results.map { case (k, v) =>
+    val qs = (results.map { case (k, v) =>
       "\"" + k + "\":" + num(v)
-    }.mkString("{", ",", "}")
+    } ++ errs.map { case (k, cls) =>
+      "\"" + k + "_err\":\"" + cls + "\""
+    }).mkString("{", ",", "}")
     val scaling = {
       val f = java.nio.file.Paths.get("/root/repo/data/scaling.json")
       if (java.nio.file.Files.exists(f))
         java.nio.file.Files.readString(f).trim
       else "null"
     }
+    def effOf(pair: String): Double =
+      s""""efficiency_$pair":([0-9.]+)""".r.findFirstMatchIn(scaling)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
     val json =
       s"""{"metric":"mvt_tiles_per_sec_z0_14","value":${num(tilesPerSec)},""" +
         s""""unit":"tiles/sec","tiles":$nTiles,"features":$nFeatures,""" +
@@ -248,9 +277,30 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/data"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/data/bench_local.json"), json)
+    // compact headline: ONLY the headline second per op (per-rep times,
+    // load evidence, and the embedded ladder live in the full record)
+    val headlineOps = Seq("dig", "pyramid_mvt_z0_14", "pyramid_wyrm_z0_12") ++
+      tableOps
+    val compactQs = headlineOps.flatMap(k =>
+      results.get(k).map(v => "\"" + k + "\":" + num(v)))
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"mvt_tiles_per_sec_z0_14","value":${num(tilesPerSec)},""" +
+        s""""unit":"tiles/sec","tiles":$nTiles,"cpus":$cpus,""" +
+        s""""pyramid_max_task_sec":${num(pyramidMaxTaskSec)},""" +
+        s""""ann_lsh_recall":${num(lshRecall)},""" +
+        s""""ann_ivf_recall":${num(ivfRecall)},""" +
+        s""""ann_ivf2_recall":${num(ivf2Recall)},""" +
+        s""""efficiency_1_to_4":${num(effOf("1_to_4"))},""" +
+        s""""efficiency_2_to_8":${num(effOf("2_to_8"))},""" +
+        s""""n_op_errors":${errs.size},""" +
+        s""""queries":$compactQs,"sf":"$sfDir",""" +
+        s""""full_record":"data/bench_local.json"}"""
     spark.stop()
-    // the LAST stdout line of the run — nothing may print after this
+    // full record first (for humans scrolling), then the compact ≤ 1 KB
+    // summary as the LAST stdout line — nothing may print after this
     println(json)
+    println(compact)
     System.out.flush()
   }
 }

@@ -254,3 +254,17 @@ class MvtSpec extends AnyFunSuite {
     assert(cmds.length == 1 + 2 + 1 + 4 + 1) // move+2, line(2)+4, close
   }
 }
+
+/** Bench record helpers (VERDICT r4 wrong #4: a swallowed table-op failure
+  * must surface as a `<name>_err` exception-class field, not read as a
+  * silently fast negative number). */
+class BenchRecordSpec extends AnyFunSuite {
+  test("timeOrErr: forced failure yields the exception class name") {
+    assert(Bench.timeOrErr { throw new IllegalStateException("boom") } ===
+      Left("java.lang.IllegalStateException"))
+  }
+  test("timeOrErr: clean op yields elapsed seconds, no error") {
+    val r = Bench.timeOrErr { val _ = 1 + 1 }
+    assert(r.isRight && r.toOption.get >= 0.0)
+  }
+}

@@ -23,18 +23,26 @@ runlvl() { # $1 core-list  $2 level
     --conf "spark.driver.extraJavaOptions=$GC" \
     --class graft.ScalingBench "$JAR" 2>&1 | grep -a '\[scaling\]'
 }
-cores() { case $1 in 8) echo 0-7;; 4) echo 0-3;; 2) echo 0-1;; 1) echo 0;; esac; }
+# unknown level = a script bug; fail it loudly instead of handing
+# taskset an empty core list (ADVICE r4)
+cores() { case $1 in 8) echo 0-7;; 4) echo 0-3;; 2) echo 0-1;; 1) echo 0;;
+  *) echo "cores(): unknown level '$1'" >&2; return 1;; esac; }
+# one crashed / scaling-line-less rep (transient JVM or host failure)
+# must not kill the unattended harvest loop under set -e (ADVICE r4);
+# min-merge means a lost rep costs nothing
+try_lvl() { c="$(cores "$1")" || return 0
+  runlvl "$c" "$1" || echo "level $1 rep failed ($?)"; }
 n=0
 while true; do
   echo "=== idle $(date +%H:%M:%S) ==="
   sleep "${IDLE:-240}"
   echo "=== burst $n ($(date +%H:%M:%S)) ==="
-  for lvl in ${WIDE:-8 4}; do runlvl "$(cores "$lvl")" "$lvl"; done
+  for lvl in ${WIDE:-8 4}; do try_lvl "$lvl"; done
   # narrow levels every third burst only — they hold the denominator
   # minima; oversampling them just re-finds fast windows that make the
   # quotient HARDER for the wide levels to match
   if [ $(( n % 3 )) -eq 2 ]; then
-    for lvl in ${NARROW:-2 1}; do runlvl "$(cores "$lvl")" "$lvl"; done
+    for lvl in ${NARROW:-2 1}; do try_lvl "$lvl"; done
   fi
   n=$(( n + 1 ))
 done
