@@ -213,7 +213,7 @@ object Bench {
     // ---- representative table ops at the given SF ----
     val tableOps = Seq("q1_agg", "q3_join_topk", "dedup_minhash",
       "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
-      "dedup_simhash_pairs", "dedup_embedding",
+      "dedup_simhash_pairs", "dedup_embedding", "decontam_ngram",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf2_topk",
       "knn_join", "j4_cover_explode", "text_quality")
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -132,10 +132,13 @@ object ScalingBench {
     // UTF_8 charset constants + alloc-free sint validation in the
     // encode row loop; pv7: per-partition reusable FeatureEncoder —
     // primitive command buffer, reused ProtoWriter/MvtGeomEncoder, tag
-    // values as raw byte slices, no per-row String round trip); bump
-    // when the pyramid job or the timing method changes so old level
-    // files can't win the min
-    val fp = fingerprint("pv7", p.toString, zMax.toString,
+    // values as raw byte slices, no per-row String round trip; pv8:
+    // cover-fusion, measured at parity and REJECTED — see ROUND4_NOTES;
+    // pv9: weight-aware final-merge partitioning — sampled per-tile
+    // weights, LPT-pinned fat merges on first-wave partition indices,
+    // RDD shuffle of RunCodec-packed runs); bump when the pyramid job
+    // or the timing method changes so old level files can't win the min
+    val fp = fingerprint("pv9", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))

@@ -696,6 +696,8 @@ object SparkEntry {
     "dedup_ngram_jaccard_clusters" ->
       ((s, d) => PipelineOps.dedupNgramJaccardClusters(s, d)),
     "dedup_clusters" -> ((s, d) => PipelineOps.dedupClusters(s, d)),
+    "dedup_apply" -> ((s, d) => PipelineOps.dedupApply(s, d)),
+    "decontam_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     "dedup_embedding" -> ((s, d) => PipelineOps.dedupEmbedding(s, d)),
     "dedup_embedding_clusters" ->
       ((s, d) => PipelineOps.dedupEmbeddingClusters(s, d)),
@@ -833,9 +835,12 @@ object SparkEntry {
           Pyramid.mvtMarginCol(lit(z)), lit(cfg.tileExtent))))
         .where($"cell" === lit((z.toLong << 58) | (tx << 29) | ty))
         .groupBy($"layer").agg(count(lit(1)).as("n_assigned"))
-      val bytes = Pyramid.tiles(s, feats.as[Feature], cfg, "tile",
-          "mvt", z, z).toDF()
-        .where($"x" === tx && $"y" === ty)
+      // the true point-lookup plan (VERDICT r4 missing #4): the tile_id
+      // filter sits between the cover explode and the encode, so only
+      // this tile's features are encoded — the full-pyramid forcing
+      // stays in ew_tiles_* where exercising the whole job is the point
+      val bytes = Pyramid.tile(s, feats.as[Feature], cfg, "tile",
+          "mvt", z, tx.toInt, ty.toInt).toDF()
         .select($"bytes").collect().headOption
         .map(_.getAs[Array[Byte]](0)).getOrElse(Array.emptyByteArray)
       val decoded = MvtDecode.decode(bytes)
@@ -1385,6 +1390,62 @@ object SparkEntry {
            FROM documents d
            LEFT JOIN comp c ON c.doc_id = d.doc_id
            LEFT JOIN sizes s ON s.keep_id = c.keep_id"""),
+      // the dedup_clusters closure restricted to keepers, joined back to
+      // the corpus — the "apply" stage's audit invariant (Σ cluster_n =
+      // doc count) is checkable directly on this result set
+      "dedup_apply" ->
+        (s"WITH RECURSIVE $minhashSigCtes, " +
+          """pairs AS (SELECT DISTINCT a.doc_id AS doc_a,
+               b.doc_id AS doc_b
+             FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+             WHERE a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+           reach AS (SELECT src, dst FROM edges
+             UNION SELECT r.src, e.dst
+               FROM reach r JOIN edges e ON r.dst = e.src),
+           comp AS (SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+             FROM reach GROUP BY src),
+           sizes AS (SELECT keep_id, count(*) AS cluster_n
+             FROM comp GROUP BY 1)
+           SELECT d.doc_id,
+             coalesce(s.cluster_n, CAST(1 AS BIGINT)) AS cluster_n,
+             length(d.text) AS n_chars, md5(d.text) AS text_md5
+           FROM documents d
+           LEFT JOIN comp c ON c.doc_id = d.doc_id
+           LEFT JOIN sizes s ON s.keep_id = c.keep_id
+           WHERE coalesce(c.keep_id, d.doc_id) = d.doc_id"""),
+      // holdout = doc_id ≡ 0 (mod 37); stop-shingle cap mirrored from
+      // PipelineOps.MaxBucket; hit ratio null when a corpus doc has no
+      // kept shingles (mirrors the Spark `when` gate)
+      "decontam_ngram" ->
+        """WITH dws AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           dsh0 AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS sh FROM dws)),
+           dkeep AS (SELECT sh FROM dsh0 GROUP BY 1
+             HAVING count(*) <= 256),
+           dsh AS (SELECT s.* FROM dsh0 s JOIN dkeep USING (sh)),
+           dhold AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 37 = 0),
+           dcorp AS (SELECT * FROM dsh WHERE doc_id % 37 <> 0),
+           dsizes AS (SELECT doc_id, count(*) AS n_ngrams FROM dcorp
+             GROUP BY 1),
+           dhits AS (SELECT doc_id, count(*) AS n_hit
+             FROM dcorp JOIN dhold USING (sh) GROUP BY 1)
+           SELECT d.doc_id,
+             coalesce(s.n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+             coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+             CASE WHEN coalesce(s.n_ngrams, 0) > 0 THEN
+               round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_ngrams, 6)
+             END AS hit_ratio_r,
+             coalesce(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_ngrams
+               >= 0.8, false) AS contaminated
+           FROM documents d
+           LEFT JOIN dsizes s ON s.doc_id = d.doc_id
+           LEFT JOIN dhits h ON h.doc_id = d.doc_id
+           WHERE d.doc_id % 37 <> 0""",
       "dedup_simhash" ->
         """WITH w AS (SELECT DISTINCT doc_id,
              unnest(list_distinct(string_split(text, ' '))) AS w

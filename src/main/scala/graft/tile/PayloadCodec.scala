@@ -11,7 +11,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Catalyst's object serializer runs a boxed `MapObjects` loop plus a
   * `String ⇄ UTF8String` conversion for each of them — on BOTH sides of
   * the exchange, and TWICE for the salted z≤8 branch (whose stage-1
-  * output nests `Array[FeatPayload]` inside [[TilePartial]]). A width-8
+  * output nested the per-salt run arrays). A width-8
   * JFR profile showed the deserializer conversions plus the downstream
   * per-row Seq rebuilds among the top CPU consumers; packing the whole
   * payload into one binary column reduces every (de)serialization to a

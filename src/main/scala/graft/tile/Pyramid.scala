@@ -45,8 +45,9 @@ final case class FeatPayload(
   *                                        layer order = config order
   *
   * Skew note: the only per-tile serial work left after the rewrite is
-  * dictionary interning + byte concatenation (O(bytes)); AQE handles
-  * partition sizing.
+  * dictionary interning + byte concatenation (O(bytes)); AQE sizes the
+  * Catalyst exchanges, and the final merge exchange places fat tiles
+  * explicitly (pv9 weight-aware partitioner below).
   */
 object Pyramid extends Serializable {
 
@@ -244,6 +245,82 @@ object Pyramid extends Serializable {
   /** Salt fan-out for hot low-zoom tiles. */
   val NumSalts = 16
 
+  // ---- pv9: weight-aware final-merge partitioning (VERDICT r4 #3) ----
+  // The measured L8 tail was the LAST exchange: hash-partitioning
+  // `tile_id` packs several hot-lineage tiles (the z0 tile plus the tile
+  // containing the corpus hot-spot at each zoom ≤ SaltMaxZ, each carrying
+  // a comparable share of all payload bytes) into one reduce partition,
+  // and that fat partition can land in the stage's LAST scheduling wave —
+  // its serial merge then adds its full wall to the tail (maxTask ≈ 80 %
+  // of stage wall at L8; more partitions measurably made it WORSE, see
+  // ROUND4_NOTES pv7). The fix uses knowledge the plan already has: a
+  // bounded sampled cover-count pass estimates per-tile payload weight,
+  // the heaviest tiles are LPT-packed onto the LOWEST partition indices
+  // (local + cluster schedulers launch tasks in ascending index order, so
+  // the serial fat merges start in the FIRST wave and overlap everything
+  // else), and every other tile hashes across all partitions as before.
+  // Output bytes are unchanged — only the reduce-side placement moves.
+
+  /** 1-in-N deterministic feature sample for the weight stats pass. The
+    * sampled cover pass costs ~1/N of one explode scan (no encode, no
+    * payload bytes) and the collect is bounded by [[heavyPinnedMax]]
+    * rows — constant driver state at any corpus size. */
+  val WeightSampleMod = 64
+
+  /** At most one pinned heavy tile per reduce partition slot. */
+  def heavyPinnedMax(nP: Int): Int = nP
+
+  /** Greedy LPT (longest-processing-time) assignment of the sampled-
+    * heaviest tiles to reduce partitions: heaviest first, each to the
+    * currently-lightest bin (ties → lowest index), so the fattest merges
+    * occupy the earliest-scheduled slots and no two top-K tiles share a
+    * partition unless the bin balance demands it. */
+  private[tile] def lptAssign(heavy: Seq[(Long, Long)],
+                              nP: Int): Map[Long, Int] = {
+    val loads = new Array[Long](nP)
+    val out = Map.newBuilder[Long, Int]
+    heavy.sortBy { case (t, w) => (-w, t) }.foreach { case (t, w) =>
+      var best = 0
+      var i = 1
+      while (i < nP) { if (loads(i) < loads(best)) best = i; i += 1 }
+      loads(best) += math.max(w, 1L)
+      out += (t -> best)
+    }
+    out.result()
+  }
+
+  /** Sampled per-tile cover counts over the salted zoom range → pinned
+    * partition for the top-K heaviest tiles. Runs one bounded job at plan
+    * build (the same eager-stats precedent as the IVF training sample);
+    * an empty sample (tiny corpus) degrades to pure hash placement. */
+  private def heavyBins(spark: SparkSession, features: Dataset[Feature],
+                        group: LayerGroup, extent: Int, fmt: String,
+                        zMin: Int, zMax: Int, nP: Int): Map[Long, Int] = {
+    import spark.implicits._
+    val meta = group.layers
+      .map(l => (l.name, l.zoom.zmin, l.zoom.zmax))
+      .toDF("layer", "zmin", "zmax")
+    val marginCol =
+      if (fmt == "wyrm") lit(TileGrid.WyrmMargin) else mvtMarginCol($"z")
+    val heavy = features.toDF()
+      .where(pmod(xxhash64($"id", $"layer"), lit(WeightSampleMod)) === 0)
+      .join(broadcast(meta), Seq("layer"))
+      .where($"zmin" <= zMax && $"zmax" >= zMin)
+      .withColumn("z",
+        explode(sequence(greatest($"zmin", lit(zMin)),
+          least($"zmax", lit(zMax)))))
+      .withColumn("tile_id",
+        explode(GeoFunctions.tileCover($"z", $"xmin", $"ymin", $"xmax",
+          $"ymax", marginCol, lit(extent))))
+      .groupBy($"tile_id").agg(count(lit(1)).as("w"))
+      .orderBy($"w".desc, $"tile_id")
+      .limit(heavyPinnedMax(nP))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    lptAssign(heavy, nP)
+  }
+
   /** Full pyramid for one group + format.
     *
     * High zooms (z > SaltMaxZ): one shuffle — groupByKey(tile_id), sort
@@ -252,9 +329,10 @@ object Pyramid extends Serializable {
     * Low zooms (z ≤ SaltMaxZ): salted two-stage — (tile_id, salt) partial
     * sort in parallel (the O(n log n) work distributes across NumSalts
     * tasks per hot tile), then a per-tile k-way merge of ≤ NumSalts
-    * pre-sorted runs feeding the same streaming assembler. Byte-identical
-    * output: the merge reproduces the global (layer_rank, kind_rank, id)
-    * order.
+    * pre-sorted runs feeding the same streaming assembler, placed by the
+    * pv9 weight-aware partitioner (fat merges pinned to first-wave
+    * partition indices). Byte-identical output: the merge reproduces the
+    * global (layer_rank, kind_rank, id) order regardless of placement.
     *
     * Memory honesty (ADVICE r2): the salting distributes the sort CPU and
     * the stage-1 buffers, but the FINAL merge task still receives every
@@ -298,15 +376,69 @@ object Pyramid extends Serializable {
       branches += enc(math.max(zMin, SaltMaxZ + 1), zMax)
         .groupByKey(_.tile_id)
         .flatMapGroups(new AssembleSingles(cfgE, group, fmt, groupName))
-    if (zMin <= SaltMaxZ)
-      branches += enc(zMin, math.min(zMax, SaltMaxZ))
+    if (zMin <= SaltMaxZ) {
+      val loMax = math.min(zMax, SaltMaxZ)
+      val nP = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val part = new WeightedTilePartitioner(nP,
+        heavyBins(spark, features, group, cfgE.tileExtent, fmt,
+          zMin, loMax, nP))
+      // stage 1 (Catalyst): per-(tile, salt) sorted runs, packed to one
+      // blob each; the final exchange is an RDD shuffle so the weighted
+      // partitioner (and its first-wave placement of the fat merges)
+      // applies — AQE never coalesces it, and the shuffle record is a
+      // flat (Long, Array[Byte]) pair
+      val runs = enc(zMin, loMax)
         .groupByKey(p => (p.tile_id, saltOf(p, NumSalts)))
         .mapGroups { (key: (Long, Int), rows: Iterator[FeatPayload]) =>
-          TilePartial(key._1, key._2, sortPayloads(rows.toArray))
+          (key._1, RunCodec.pack(sortPayloads(rows.toArray)))
         }
-        .groupByKey(_.tile_id)
-        .flatMapGroups(new AssembleMerged(cfgE, group, fmt, groupName))
+      val merged = runs.rdd
+        .repartitionAndSortWithinPartitions(part)
+        .mapPartitions { it =>
+          // same-tile runs arrive consecutively (sorted by tile_id);
+          // stream-group them into the k-way merge + assembler, one
+          // pooled MvtLayer per task (pv7 discipline)
+          val pool =
+            if (fmt == "mvt") new MvtLayer("", cfgE.tileExtent) else null
+          val buf = it.buffered
+          Iterator.continually(()).takeWhile(_ => buf.hasNext).flatMap {
+            _ =>
+              val tid = buf.head._1
+              val tileRuns = Seq.newBuilder[Array[FeatPayload]]
+              while (buf.hasNext && buf.head._1 == tid)
+                tileRuns += RunCodec.unpack(tid, buf.next()._2)
+              assembleSorted(cfgE, group, fmt, groupName, tid,
+                mergeRuns(tileRuns.result()), pool)
+          }
+        }
+      branches += spark.createDataset(merged)
+    }
     branches.result().reduce(_ unionByName _)
+  }
+
+  /** Single-tile point lookup (S8's production shape; VERDICT r4 missing
+    * #4): the pyramid plan narrowed to ONE tile_id, with the filter
+    * placed between the cover explode and the per-feature encode — only
+    * payloads of that tile are ever encoded or shuffled, so the lookup's
+    * cost is O(features covering the tile), not O(zoom row). Bytes are
+    * identical to the full pyramid's tile by construction: same encoder,
+    * same (layer_rank, kind_rank, id) merge order, same assembler. */
+  def tile(spark: SparkSession, features: Dataset[Feature],
+           cfgE: EngineCfg, groupName: String, fmt: String,
+           z: Int, x: Int, y: Int): Dataset[TileRow] = {
+    import spark.implicits._
+    val group = cfgE.groups.find(_.name == groupName).get
+    val tid = TileId.pack(z, x, y)
+    coverJoin(spark, features, group, cfgE.tileExtent, fmt, z, z)
+      .filter(col("tile_id") === tid)
+      .mapPartitions { it =>
+        val fe = new FeatureEncoder(cfgE, group, fmt)
+        it.flatMap(fe.encode)
+      }
+      .groupByKey(_.tile_id)
+      .flatMapGroups(new AssembleSingles(cfgE, group, fmt, groupName))
   }
 
   /** flatMapGroups functions as named classes so each TASK (one
@@ -326,21 +458,34 @@ object Pyramid extends Serializable {
         sortPayloads(rows.toArray).iterator, pool)
   }
 
-  private final class AssembleMerged(cfgE: EngineCfg, group: LayerGroup,
-                                     fmt: String, groupName: String)
-      extends ((Long, Iterator[TilePartial]) => Iterator[TileRow])
-      with Serializable {
-    @transient private lazy val pool =
-      if (fmt == "mvt") new MvtLayer("", cfgE.tileExtent) else null
-    def apply(tid: Long, parts: Iterator[TilePartial]): Iterator[TileRow] =
-      assembleSorted(cfgE, group, fmt, groupName, tid,
-        mergeRuns(parts.map(_.feats).toSeq), pool)
-  }
 }
 
-/** One pre-sorted per-(tile, salt) run of feature payloads. */
-final case class TilePartial(tile_id: Long, salt: Int,
-                             feats: Array[FeatPayload])
+/** Reduce-partition placement for the salted branch's final merge: the
+  * sampled-heaviest tiles are pinned to LPT-chosen low indices (first
+  * scheduling wave, one fat merge per slot where balance allows); every
+  * other tile hashes uniformly across all partitions. Placement only —
+  * per-tile bytes are identical under any partitioner (pinned by the sbt
+  * byte-parity oracle suite). */
+final class WeightedTilePartitioner(override val numPartitions: Int,
+                                    val pinned: Map[Long, Int])
+    extends org.apache.spark.Partitioner {
+  require(numPartitions > 0, "WeightedTilePartitioner: no partitions")
+  override def getPartition(key: Any): Int = {
+    val tid = key.asInstanceOf[Long]
+    pinned.get(tid) match {
+      case Some(p) => p
+      case None =>
+        math.floorMod(graft.ingest.SpanCodec.mix64(tid).toInt,
+          numPartitions)
+    }
+  }
+  override def equals(o: Any): Boolean = o match {
+    case w: WeightedTilePartitioner =>
+      w.numPartitions == numPartitions && w.pinned == pinned
+    case _ => false
+  }
+  override def hashCode: Int = numPartitions * 31 + pinned.hashCode
+}
 
 /** Reusable per-partition feature encoder — the engine's map-side hot
   * path, one instance per `mapPartitions` closure. A pv6 JFR profile put

@@ -506,6 +506,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 >= 2L), "no embedding cluster resolved")
   }
 
+  test("decontaminate: planted holdout overlap is flagged, clean doc is not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc").toString
+    val evalText = "the quick brown fox jumps over the lazy dog tonight"
+    // 0 and 37 are holdout (doc_id % 37 == 0); 5 duplicates holdout text
+    // verbatim (ratio 1.0), 6 shares nothing with the holdout set
+    val docs = Seq(
+      (0L, evalText, "en"),
+      (37L, "benchmark question alpha beta gamma delta answer", "en"),
+      (5L, evalText, "en"),
+      (6L, "completely different words nowhere near eval content", "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // only non-holdout docs appear
+    assert(got.keySet === Set(5L, 6L))
+    val (n5, h5, c5) = got(5L)
+    assert(h5 === n5 && c5, "verbatim holdout copy must be contaminated")
+    val (_, h6, c6) = got(6L)
+    assert(h6 === 0L && !c6, "disjoint doc must be clean")
+    // invariant: hits never exceed kept shingles
+    got.values.foreach { case (n, h, _) => assert(h <= n) }
+  }
+
+  test("dedup_apply: audit sums reconcile and the write is idempotent") {
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_da").toString +
+      "/kept"
+    val kept = graft.pipeline.PipelineOps.dedupApply(spark, sf, Some(out))
+    val nDocs = graft.pipeline.PipelineOps.documents(spark, sf).count()
+    // Σ cluster_n over keepers == corpus size: every doc accounted for
+    val sumN = kept.agg(sum("cluster_n")).head.getLong(0)
+    assert(sumN === nDocs)
+    val firstMd5 = spark.read.parquet(out).select("doc_id", "text_md5")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // idempotent: second write reproduces the identical artifact
+    graft.pipeline.PipelineOps.dedupApply(spark, sf, Some(out))
+    val secondMd5 = spark.read.parquet(out).select("doc_id", "text_md5")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(firstMd5 === secondMd5 && firstMd5.nonEmpty)
+  }
+
   test("jaccard dedup clusters == independent driver union-find") {
     val sf = "/root/testdata/sf0.01"
     val pairs = graft.pipeline.PipelineOps.dedupNgramJaccard(spark, sf)
