@@ -138,10 +138,28 @@ object ScalingBench {
     // weights, LPT-pinned fat merges on first-wave partition indices,
     // RDD shuffle of RunCodec-packed runs); bump when the pyramid job
     // or the timing method changes so old level files can't win the min
+    // pv9's final merge is an RDD shuffle of (Long, Array[Byte]) records
+    // (Catalyst exchanges use the UnsafeRow serializer and ignore
+    // spark.serializer; only this one RDD exchange is affected). Kryo
+    // was A/B'd against the Java default in interleaved same-window L8
+    // bursts (tools/ab_serializer.sh → data/ab5k_level_8.json 16.92 s
+    // vs data/ab5j_level_8.json 15.60 s, min of 6 reps each; an earlier
+    // window agreed: data/abk9.json 8.37 s kryo vs ab9new.json 5.61 s
+    // java) and LOST — the shuffle rows are dominated by one large
+    // pre-packed byte blob, which Java serialization writes essentially
+    // raw while Kryo pays an extra buffer copy/resize per record. The
+    // knob stays for re-A/B and is FINGERPRINTED: a java-serializer
+    // record must never min-merge with a kryo one.
+    val serializer = sys.env.getOrElse("SPARK_GRAFT_SCALING_SERIALIZER",
+      "java") match {
+      case "kryo" => "org.apache.spark.serializer.KryoSerializer"
+      case _      => "org.apache.spark.serializer.JavaSerializer"
+    }
     val fp = fingerprint("pv9", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"),
+      serializer)
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
@@ -159,6 +177,7 @@ object ScalingBench {
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
           s"${advisoryMb}m")
+        .config("spark.serializer", serializer)
         .config("spark.network.timeout", "600s")
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
