@@ -75,7 +75,10 @@ object ScalingBench {
     * current fingerprint (others are stale configurations and skipped). */
   private[graft] def compose(dir: String, prefix: String, outName: String,
                              unit: String, fp: String,
-                             includeCalib: Boolean = false): Unit = {
+                             includeCalib: Boolean = false,
+                             method: String = "taskset-pinned JVM per" +
+                               " level, interleaved rounds, min of warm" +
+                               " reps, identical parquet input"): Unit = {
     import scala.jdk.CollectionConverters._
     val levels = Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.startsWith(s"${prefix}_level_"))
@@ -106,8 +109,7 @@ object ScalingBench {
       } else ""
     val json =
       s"""{"levels":[${levels.mkString(",")}],""" + effField + calibField +
-        s""""method":"taskset-pinned JVM per level, interleaved rounds,""" +
-        s""" min of warm reps, identical parquet input"}"""
+        s""""method":"$method"}"""
     Files.writeString(Paths.get(s"$dir/$outName"), json)
     println(json)
   }
@@ -119,8 +121,14 @@ object ScalingBench {
       .split(',').map(_.trim.toInt).toSeq
     val zMax = sys.env.getOrElse("SPARK_GRAFT_SCALING_ZMAX", "16").toInt
     // separate prefix → separate level files, e.g. the 2-JVM attribution
-    // experiment must not min-merge into the headline scaling record
-    val prefix = sys.env.getOrElse("SPARK_GRAFT_SCALING_PREFIX", "scaling")
+    // experiment must not min-merge into the headline scaling record.
+    // executors mode defaults to its own prefix for the same reason: its
+    // fingerprint differs, and mergeLevel DISCARDS a previous record with
+    // a different fp — sharing "scaling_level_*.json" would wipe the
+    // threads-mode minima.
+    val prefix = sys.env.getOrElse("SPARK_GRAFT_SCALING_PREFIX",
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "threads")
+        == "executors") "scaling_mx" else "scaling")
     val cfg = EngineCfg.default
     val p = CorpusGen.bench.copy(nx = 240, ny = 200,
       countyCols = 24, countyRows = 20)
@@ -155,11 +163,29 @@ object ScalingBench {
       case "kryo" => "org.apache.spark.serializer.KryoSerializer"
       case _      => "org.apache.spark.serializer.JavaSerializer"
     }
-    val fp = fingerprint("pv9", p.toString, zMax.toString,
+    // mode "threads" (default): local[k] — k tasks multiplex ONE JVM; the
+    // sandbox stand-in used since round 1. mode "executors": Spark's
+    // local-cluster[k,1,mem] master — k REAL executor JVMs of 1 core each
+    // (separate heaps, allocators, code caches; shuffle crosses process
+    // boundaries over netty exactly as on a multi-node cluster), the
+    // configuration the north rule actually names ("N and 4N executors").
+    // The driver is pinned OFF the executor cores (a real cluster's driver
+    // is a separate node); each executor JVM is pinned to its own distinct
+    // core so width-k means exactly k cores of compute at every level.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "threads")
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALING_EXEC_MB", "6144")
+    val execGc = sys.env.getOrElse("SPARK_GRAFT_SCALING_EXEC_GC",
+      "-XX:+UseParallelGC -Xmn3g -XX:-UseAdaptiveSizePolicy")
+    // threads mode appends NOTHING: its measured job is unchanged, so its
+    // fingerprint must stay byte-identical to the banked pv9 ladder's —
+    // appending a "threads" marker would silently discard those minima
+    val fp = fingerprint(Seq("pv9", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"),
-      serializer)
+      serializer) ++
+      (if (mode == "executors") Seq(s"executors|$execMemMb|$execGc|pin-v1")
+       else Nil): _*)
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
     def session(cpus: Int): SparkSession = {
@@ -171,8 +197,11 @@ object ScalingBench {
       val parts = sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32")
       val advisoryMb = sys.env.get("SPARK_GRAFT_SCALING_ADVISORY_MB")
         .map(_.toInt).getOrElse(8)
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
+      val master =
+        if (mode == "executors") s"local-cluster[$cpus,1,$execMemMb]"
+        else s"local[$cpus]"
+      val b = SparkSession.builder()
+        .master(master)
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -181,9 +210,61 @@ object ScalingBench {
         .config("spark.network.timeout", "600s")
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      if (mode == "executors") {
+        b.config("spark.executor.memory", s"${execMemMb}m")
+        b.config("spark.executor.extraJavaOptions", execGc)
+      }
+      val s = b.getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
+      if (mode == "executors") pinProcesses(s, cpus)
       s
+    }
+
+    /** executors mode: wait for all k executor JVMs to register, then pin
+      * each to its OWN core from SPARK_GRAFT_SCALING_EXEC_CORES (k-th entry
+      * of the expanded list) and the driver JVM to
+      * SPARK_GRAFT_SCALING_DRIVER_CORES — constant at every level, off the
+      * executor set, like a real cluster's separate driver node. */
+    def pinProcesses(s: SparkSession, cpus: Int): Unit = {
+      def expand(spec: String): Seq[Int] = spec.split(',').toSeq.flatMap {
+        r => r.split('-') match {
+          case Array(a, z) => a.trim.toInt to z.trim.toInt
+          case Array(a)    => Seq(a.trim.toInt)
+        }
+      }
+      val execCores = expand(
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_EXEC_CORES", "0-7"))
+      val drvCores = sys.env.getOrElse("SPARK_GRAFT_SCALING_DRIVER_CORES",
+        "28-31")
+      require(execCores.size >= cpus,
+        s"need $cpus exec cores, got ${execCores.size}")
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      // statusTracker counts the driver too in local modes; in
+      // local-cluster the driver is NOT an executor, so expect exactly k
+      while (s.sparkContext.statusTracker.getExecutorInfos.length < cpus &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+      def sh(cmd: String): String =
+        try {
+          val pr = Runtime.getRuntime.exec(Array("/bin/sh", "-c", cmd))
+          val out = new String(pr.getInputStream.readAllBytes, "UTF-8")
+          pr.waitFor(); out
+        } catch { case _: Throwable => "" }
+      // this app's executors only: their cmdline carries our driver port
+      val port = s.sparkContext.getConf.get("spark.driver.port", "")
+      val pids = sh("pgrep -f CoarseGrainedExecutorBackend").trim
+        .split("\\s+").filter(_.nonEmpty)
+        .filter(pid => port.nonEmpty &&
+          sh(s"tr '\\0' ' ' < /proc/$pid/cmdline 2>/dev/null")
+            .contains(s":$port"))
+        .sortBy(_.toLong)
+      pids.zipWithIndex.foreach { case (pid, i) =>
+        sh(s"taskset -apc ${execCores(i % execCores.size)} $pid > /dev/null")
+      }
+      sh(s"taskset -apc $drvCores ${ProcessHandle.current().pid()} " +
+        "> /dev/null")
+      println(s"[scaling] pinned mode=executors k=$cpus execs=" +
+        pids.mkString(",") + s" cores=${execCores.take(cpus).mkString(",")}" +
+        s" driver=${ProcessHandle.current().pid()}@$drvCores")
     }
 
     /** Sum of task wall time per rep — utilization = taskSec/(wall·cpus)
@@ -191,10 +272,17 @@ object ScalingBench {
     final class TaskSumListener
         extends org.apache.spark.scheduler.SparkListener {
       val sum = new java.util.concurrent.atomic.AtomicLong(0)
+      // executor-side CPU (ns, from TaskMetrics) — in executors mode the
+      // driver-JVM cpuSec no longer sees the workers' cycles, so the
+      // CPU-flat-across-widths evidence rides on this sum instead
+      val cpu = new java.util.concurrent.atomic.AtomicLong(0)
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null) { sum.addAndGet(t.taskInfo.duration); () }
+        if (t.taskMetrics != null) {
+          cpu.addAndGet(t.taskMetrics.executorCpuTime); ()
+        }
         n.incrementAndGet(); ()
       }
     }
@@ -241,9 +329,13 @@ object ScalingBench {
       }
     }
 
-    // phase 0: materialize features once (full parallelism, unmeasured)
+    // phase 0: materialize features once (full parallelism, unmeasured;
+    // always a plain local[32] session — spawning 32 executor JVMs for an
+    // untimed one-shot ETL would be pure startup cost)
     if (!new java.io.File(featPath + "/_SUCCESS").exists()) {
-      val s = session(32)
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
       import s.implicits._
       val docs = s.range(0, CorpusGen.unitCount(p).toLong)
         .flatMap(u => CorpusGen.docsOfUnit(p, u.toInt)).toDF()
@@ -311,7 +403,8 @@ object ScalingBench {
           s"taskSec=${num(l.sum.get() / 1e3)} tasks=${l.n.get()} " +
           s"util=${num(l.sum.get() / 1e3 / (w * cpus))} " +
           s"gcSec=${num((gcMs - gc0) / 1e3)} " +
-          s"cpuSec=${num((cpuNs - c0) / 1e9)} loadavg1=$load1")
+          s"cpuSec=${num((cpuNs - c0) / 1e9)} " +
+          s"taskCpuSec=${num(l.cpu.get() / 1e9)} loadavg1=$load1")
         w
       }
       samples.getOrElseUpdate(cpus,
@@ -325,7 +418,15 @@ object ScalingBench {
     }
     if (samples.nonEmpty)
       compose(dataDir, prefix, s"$prefix.json", "tiles", fp,
-        includeCalib = true)
+        includeCalib = true,
+        method =
+          if (mode == "executors")
+            "local-cluster[k,1,mem]: k REAL executor JVMs of 1 core each," +
+              " each pinned to its own core, driver pinned off-set;" +
+              " interleaved duty-cycled bursts, min of warm reps," +
+              " identical parquet input"
+          else "taskset-pinned JVM per level, interleaved rounds, min of" +
+            " warm reps, identical parquet input")
   }
 }
 
