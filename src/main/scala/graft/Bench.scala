@@ -256,14 +256,20 @@ object Bench {
     } ++ errs.map { case (k, cls) =>
       "\"" + k + "_err\":\"" + cls + "\""
     }).mkString("{", ",", "}")
-    val scaling = {
-      val f = java.nio.file.Paths.get("/root/repo/data/scaling.json")
+    def fileOrNull(p: String): String = {
+      val f = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(f))
         java.nio.file.Files.readString(f).trim
       else "null"
     }
-    def effOf(pair: String): Double =
-      s""""efficiency_$pair":([0-9.]+)""".r.findFirstMatchIn(scaling)
+    // threads ladder (local[k], the single-JVM stand-in) and the
+    // multi-executor ladder (local-cluster[k,1,mem], k real 1-core
+    // executor JVMs — the configuration the north rule names); both ride
+    // in the full record, both efficiency pairs in the compact headline
+    val scaling = fileOrNull("/root/repo/data/scaling.json")
+    val scalingMx = fileOrNull("/root/repo/data/scaling_mx.json")
+    def effOf(src: String, pair: String): Double =
+      s""""efficiency_$pair":([0-9.]+)""".r.findFirstMatchIn(src)
         .map(_.group(1).toDouble).getOrElse(-1.0)
     val json =
       s"""{"metric":"mvt_tiles_per_sec_z0_14","value":${num(tilesPerSec)},""" +
@@ -272,7 +278,8 @@ object Bench {
         s""""ann_lsh_recall":${num(lshRecall)},""" +
         s""""ann_ivf_recall":${num(ivfRecall)},""" +
         s""""ann_ivf2_recall":${num(ivf2Recall)},""" +
-        s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}"""
+        s""""queries":$qs,"scaling":$scaling,""" +
+        s""""scaling_executors":$scalingMx,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/root/repo/data"))
     java.nio.file.Files.writeString(
@@ -291,8 +298,10 @@ object Bench {
         s""""ann_lsh_recall":${num(lshRecall)},""" +
         s""""ann_ivf_recall":${num(ivfRecall)},""" +
         s""""ann_ivf2_recall":${num(ivf2Recall)},""" +
-        s""""efficiency_1_to_4":${num(effOf("1_to_4"))},""" +
-        s""""efficiency_2_to_8":${num(effOf("2_to_8"))},""" +
+        s""""efficiency_1_to_4":${num(effOf(scaling, "1_to_4"))},""" +
+        s""""efficiency_2_to_8":${num(effOf(scaling, "2_to_8"))},""" +
+        s""""mx_efficiency_1_to_4":${num(effOf(scalingMx, "1_to_4"))},""" +
+        s""""mx_efficiency_2_to_8":${num(effOf(scalingMx, "2_to_8"))},""" +
         s""""n_op_errors":${errs.size},""" +
         s""""queries":$compactQs,"sf":"$sfDir",""" +
         s""""full_record":"data/bench_local.json"}"""
