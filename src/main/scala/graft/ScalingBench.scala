@@ -174,17 +174,31 @@ object ScalingBench {
     // core so width-k means exactly k cores of compute at every level.
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "threads")
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALING_EXEC_MB", "6144")
+    // ActiveProcessorCount=1: the executor JVMs launch BEFORE the harness
+    // can pin them, so without this they size GC/JIT/netty pools for the
+    // host's 32 cores and then get pinned onto ONE — 20+ runnable threads
+    // per core (measured: loadavg 14-25, util 0.5). A real 1-core
+    // executor would be provisioned for 1 CPU; say so explicitly.
     val execGc = sys.env.getOrElse("SPARK_GRAFT_SCALING_EXEC_GC",
-      "-XX:+UseParallelGC -Xmn3g -XX:-UseAdaptiveSizePolicy")
-    // threads mode appends NOTHING: its measured job is unchanged, so its
-    // fingerprint must stay byte-identical to the banked pv9 ladder's —
-    // appending a "threads" marker would silently discard those minima
-    val fp = fingerprint(Seq("pv9", p.toString, zMax.toString,
+      "-XX:ActiveProcessorCount=1 -XX:+UseParallelGC -Xmn3g" +
+        " -XX:-UseAdaptiveSizePolicy")
+    // pv10: AQE partition COALESCING is off for the measured job. The
+    // r5 stage profile showed AQE folding the salt-run sort+pack stage
+    // (CPU-heavy, but only a few MB of shuffle bytes post-compression)
+    // down to 2-3 tasks — a ~2-3.5 s near-serial stage inside the L8
+    // wall, and a LEVEL-DEPENDENT one (the coalesce target tracks
+    // defaultParallelism), which violated the identical-plan-at-every-
+    // level protocol. With coalescing off every shuffle read is the
+    // fixed 32 partitions at every level; the knob is fingerprinted and
+    // the prior ladder state is preserved in data/scaling_pv9.json.
+    val coalesce = sys.env.getOrElse("SPARK_GRAFT_SCALING_COALESCE",
+      "false")
+    val fp = fingerprint(Seq("pv10", p.toString, zMax.toString,
       sys.env.getOrElse("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_ADVISORY_MB", "8"),
       sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true"),
-      serializer) ++
-      (if (mode == "executors") Seq(s"executors|$execMemMb|$execGc|pin-v1")
+      serializer, coalesce) ++
+      (if (mode == "executors") Seq(s"executors|$execMemMb|$execGc|mx-v2")
        else Nil): _*)
 
     val aqe = sys.env.getOrElse("SPARK_GRAFT_SCALING_AQE", "true")
@@ -204,6 +218,7 @@ object ScalingBench {
         .master(master)
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
           s"${advisoryMb}m")
         .config("spark.serializer", serializer)
@@ -213,6 +228,10 @@ object ScalingBench {
       if (mode == "executors") {
         b.config("spark.executor.memory", s"${execMemMb}m")
         b.config("spark.executor.extraJavaOptions", execGc)
+        // 1-core executors must not wait for "better" locality — a real
+        // k-node cluster has k equally-good slots; the 3 s default left
+        // cores idle between waves (measured util 0.5-0.65 at k=8)
+        b.config("spark.locality.wait", "0s")
       }
       val s = b.getOrCreate()
       s.sparkContext.setLogLevel("ERROR")

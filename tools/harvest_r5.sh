@@ -13,7 +13,8 @@ JAR=../target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || (cd .. && sbt -batch package > /dev/null)
 REPS="${REPS:-4}"
 GC_T="-XX:+UseParallelGC -Xmn24g -XX:-UseAdaptiveSizePolicy"
-GC_D="-XX:+UseParallelGC -Xmn8g -XX:-UseAdaptiveSizePolicy"
+# mx driver: pinned to 4 cores (28-31); size its pools accordingly
+GC_D="-XX:ActiveProcessorCount=4 -XX:+UseParallelGC -Xmn8g -XX:-UseAdaptiveSizePolicy"
 
 threads_lvl() { # $1 core-list  $2 level
   taskset -c "$1" env SPARK_GRAFT_SCALING_LEVELS="$2" \

@@ -19,7 +19,7 @@ JAR=../target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || (cd .. && sbt -batch package > /dev/null)
 # driver-JVM GC (executor GC is SPARK_GRAFT_SCALING_EXEC_GC, default in
 # ScalingBench: ParallelGC, fixed 3g young gen per 6g executor heap)
-GC="${GC:--XX:+UseParallelGC -Xmn8g -XX:-UseAdaptiveSizePolicy}"
+GC="${GC:--XX:ActiveProcessorCount=4 -XX:+UseParallelGC -Xmn8g -XX:-UseAdaptiveSizePolicy}"
 MEM="${MEM:-16g}"
 runlvl() { # $1 level
   env SPARK_GRAFT_SCALING_LEVELS="$1" SPARK_GRAFT_SCALING_ROUNDS=1 \
