@@ -268,9 +268,15 @@ object Bench {
     // in the full record, both efficiency pairs in the compact headline
     val scaling = fileOrNull("/root/repo/data/scaling.json")
     val scalingMx = fileOrNull("/root/repo/data/scaling_mx.json")
-    def effOf(src: String, pair: String): Double =
-      s""""efficiency_$pair":([0-9.]+)""".r.findFirstMatchIn(src)
+    // Match only the ladder's OWN top-level efficiency fields: the nested
+    // pure_cpu_calibration block carries its own efficiency_* keys, and the
+    // mx ladder (no level-1 windows yet) must report -1.0 for 1_to_4, not
+    // the calibration's figure.
+    def effOf(src: String, pair: String): Double = {
+      val topLevel = src.split("\"pure_cpu_calibration\"", 2)(0)
+      s""""efficiency_$pair":([0-9.]+)""".r.findFirstMatchIn(topLevel)
         .map(_.group(1).toDouble).getOrElse(-1.0)
+    }
     val json =
       s"""{"metric":"mvt_tiles_per_sec_z0_14","value":${num(tilesPerSec)},""" +
         s""""unit":"tiles/sec","tiles":$nTiles,"features":$nFeatures,""" +
