@@ -12,6 +12,10 @@ cd "$(dirname "$0")"
 JAR=../target/scala-2.13/earthwyrmspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || (cd .. && sbt -batch package > /dev/null)
 REPS="${REPS:-4}"
+# mx executors JIT-compile independently on 1 core each; the shared z12
+# warmup rep doesn't cover the full-pyramid paths, so walls keep falling
+# through rep ~5 — give mx JVMs more timed reps to reach steady state
+REPS_MX="${REPS_MX:-8}"
 GC_T="-XX:+UseParallelGC -Xmn24g -XX:-UseAdaptiveSizePolicy"
 # mx driver: pinned to 4 cores (28-31); size its pools accordingly
 GC_D="-XX:ActiveProcessorCount=4 -XX:+UseParallelGC -Xmn8g -XX:-UseAdaptiveSizePolicy"
@@ -27,7 +31,7 @@ threads_lvl() { # $1 core-list  $2 level
 }
 mx_lvl() { # $1 level
   env SPARK_GRAFT_SCALING_MODE=executors SPARK_GRAFT_SCALING_LEVELS="$1" \
-    SPARK_GRAFT_SCALING_ROUNDS=1 SPARK_GRAFT_SCALING_REPS="$REPS" \
+    SPARK_GRAFT_SCALING_ROUNDS=1 SPARK_GRAFT_SCALING_REPS="$REPS_MX" \
     SPARK_GRAFT_SCALING_EXEC_CORES=0-7 SPARK_GRAFT_SCALING_DRIVER_CORES=28-31 \
     /opt/spark/bin/spark-submit --master "local-cluster[$1,1,6144]" \
     --driver-memory 16g --conf spark.ui.enabled=false \
