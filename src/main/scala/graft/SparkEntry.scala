@@ -709,6 +709,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => PipelineOps.textQuality(s, d)),
     "text_token_count" -> ((s, d) => PipelineOps.textTokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => PipelineOps.textFingerprint(s, d)),
+    "corpus_mix" -> ((s, d) => PipelineOps.corpusMix(s, d)),
+    "text_repetition" -> ((s, d) => PipelineOps.textRepetition(s, d)),
     // ---- engine E2E over the interleaved corpus ----
     "ew_entities" -> ((s, d) => {
       import s.implicits._
@@ -1604,6 +1606,54 @@ object SparkEntry {
                  w[len(w)] || '|' || CAST(len(w) AS VARCHAR)) AS fp_sketch
            FROM (SELECT doc_id, text, string_split(text,' ') AS w
                  FROM documents)""",
+      // corpus mixing: factor = epochs(1.5) * max source count / source
+      // count; copies = floor(factor) + Bernoulli(frac(factor)) on the
+      // md5-u32 uniform (exact in a double — the embPlane precedent)
+      "corpus_mix" ->
+        """WITH c AS (SELECT source, count(*) AS cnt FROM documents
+             GROUP BY 1),
+           r AS (SELECT source,
+             (CAST(max(cnt) OVER () AS DOUBLE) * 1.5) / cnt AS factor
+             FROM c),
+           m AS (SELECT d.doc_id, d.source, r.factor,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef', substr(
+                 md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 << ((8 - i) * 4))) AS DOUBLE) / 4294967296.0 AS u
+             FROM documents d JOIN r USING (source)),
+           k AS (SELECT doc_id, source,
+             CAST(floor(factor) AS BIGINT) +
+               CASE WHEN u < factor - floor(factor) THEN 1 ELSE 0 END
+               AS n_copies FROM m)
+           SELECT doc_id, source, n_copies,
+             unnest(generate_series(1, n_copies)) AS copy_n
+           FROM k""",
+      // repetition: max per-word count == longest run of the sorted word
+      // multiset (what the engine computes map-side inside the row)
+      "text_repetition" ->
+        """WITH wds AS (SELECT doc_id, string_split(text,' ') AS w
+             FROM documents),
+           wc AS (SELECT doc_id, wrd, count(*) AS c FROM
+             (SELECT doc_id, unnest(w) AS wrd FROM wds) GROUP BY 1, 2),
+           tw AS (SELECT doc_id, max(c) AS top_n FROM wc GROUP BY 1),
+           bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS sh FROM wds)
+           SELECT d.doc_id, len(w.w) AS n_words, t.top_n AS top_word_n,
+             round(CAST(t.top_n AS DOUBLE) / len(w.w), 6) AS top_word_frac,
+             len(b.sh) AS n_bigrams,
+             len(b.sh) - len(list_distinct(b.sh)) AS n_dup_bigrams,
+             round(CASE WHEN len(b.sh) > 0 THEN
+               CAST(len(b.sh) - len(list_distinct(b.sh)) AS DOUBLE)
+                 / len(b.sh) ELSE 0.0 END, 6) AS dup_bigram_frac,
+             (CAST(t.top_n AS DOUBLE) / len(w.w) > 0.30) OR
+               (CASE WHEN len(b.sh) > 0 THEN
+                 CAST(len(b.sh) - len(list_distinct(b.sh)) AS DOUBLE)
+                   / len(b.sh) ELSE 0.0 END > 0.50) AS repetitive
+           FROM documents d
+           JOIN wds w USING (doc_id) JOIN tw t USING (doc_id)
+           JOIN bg b USING (doc_id)""",
       "ew_entities" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),

@@ -1032,4 +1032,93 @@ object PipelineOps {
         get(ws, floor(size(ws) / 2).cast("int")),
         get(ws, size(ws) - 1), size(ws).cast("string"))).as("fp_sketch"))
   }
+
+  /** Deterministic per-doc uniform in [0, 1): first 8 md5 hex chars of
+    * the doc_id's decimal string as a u32, over 2^32. Exact in a double
+    * (32-bit integer, power-of-two divisor), so the DuckDB oracle
+    * re-derives the identical value — same reasoning as [[embPlane]]. */
+  private def docUniform(docId: Column): Column =
+    conv(substring(md5(docId.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Corpus MIXING / stratified re-balancing — the pretraining stage that
+    * re-weights heterogeneous sources into one training mixture. Every
+    * source is upsampled IN EXPECTATION to `epochs` × the largest
+    * source's count: factor f(s) = epochs · max_count / count(s), and
+    * each doc emits ⌊f⌋ copies plus one more iff its [[docUniform]]
+    * u < frac(f). No RNG state and no driver loop, so the sample is
+    * reproducible across engines, re-runs and cluster sizes — the
+    * property a 10^12-doc mixture job actually needs (a seeded `rand()`
+    * is partition-order-dependent under retries/AQE).
+    *
+    * Scale shape: the per-source count is one tiny partial-agg pass; the
+    * factor table (rows = #sources) broadcasts; replication is
+    * `sequence()` + `explode` — pure map-side, no shuffle of the wide
+    * corpus at all. Downsampling mixtures (f < 1) fall out of the same
+    * formula: ⌊f⌋ = 0 copies plus the Bernoulli(frac) one. */
+  def corpusMix(spark: SparkSession, sfDir: String,
+                epochs: Double = 1.5): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("cnt"))
+    // whole-frame window over the per-source counts: rows = #sources
+    val factors = counts
+      .withColumn("max_cnt", max($"cnt").over(Window.partitionBy()))
+      .select($"source",
+        (($"max_cnt".cast("double") * epochs) / $"cnt").as("factor"))
+    val u = docUniform($"doc_id")
+    d.join(broadcast(factors), Seq("source"))
+      .withColumn("n_copies",
+        floor($"factor") +
+          when(u < ($"factor" - floor($"factor")), 1L).otherwise(0L))
+      // guard: Spark sequence(1, 0) is a DESCENDING [1, 0], not empty —
+      // a 0-copy doc (downsampling mixture) must drop out instead
+      .where($"n_copies" >= 1)
+      .select($"doc_id", $"source", $"n_copies",
+        explode(sequence(lit(1L), $"n_copies")).as("copy_n"))
+  }
+
+  /** Intra-document REPETITION scoring (Gopher-style quality rule): the
+    * fraction of words taken by the single most frequent word and the
+    * fraction of duplicate consecutive 2-grams; `repetitive` flags docs
+    * over either threshold (top word > 0.30 of the doc, or > 0.50 of
+    * bigrams duplicated). Used by every large-scale corpus cleaner to
+    * drop boilerplate/looping text before training.
+    *
+    * Scale shape: the top-word count is computed INSIDE the row — sort
+    * the doc's word array once and take the longest run with a single
+    * `aggregate` pass (O(n log n) per doc, fully map-side, codegen'd) —
+    * instead of the explode + groupBy(doc, word) + max + join-back shape,
+    * which shuffles one row per WORD of a 100 TB corpus. The DuckDB
+    * oracle re-derives the same number set-wise (max per-word count ≡
+    * longest run of the sorted multiset). */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val ws = words($"text")
+    val sh = shingles2(ws)
+    val top = aggregate(array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupFrac =
+      when(size(sh) > 0,
+        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
+        .otherwise(lit(0.0))
+    val topFrac = top.cast("double") / size(ws)
+    d.select(
+      $"doc_id",
+      size(ws).as("n_words"),
+      top.as("top_word_n"),
+      round(topFrac, 6).as("top_word_frac"),
+      size(sh).as("n_bigrams"),
+      (size(sh) - size(array_distinct(sh))).as("n_dup_bigrams"),
+      round(dupFrac, 6).as("dup_bigram_frac"),
+      (topFrac > 0.30 || dupFrac > 0.50).as("repetitive"))
+  }
 }

@@ -533,6 +533,72 @@ class OpsSpec extends AnyFunSuite {
     got.values.foreach { case (n, h, _) => assert(h <= n) }
   }
 
+  test("corpus_mix: balance-to-max mixture, deterministic copy counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    // epochs default 1.5 → big: 4 docs (factor 1.5, fractional — the
+    // Bernoulli branch), small: 2 docs (factor 3.0 exact), tiny: 3 docs
+    // (factor 2.0 exact)
+    val docs = Seq(
+      (1L, "a", "en", "big"), (2L, "b", "en", "big"),
+      (3L, "c", "en", "big"), (4L, "d", "en", "big"),
+      (5L, "e", "en", "small"), (6L, "f", "en", "small"),
+      (7L, "g", "en", "tiny"), (8L, "h", "en", "tiny"),
+      (9L, "i", "en", "tiny"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.corpusMix(spark, dir)
+    val perDoc = got.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("n_copies").as("nc"),
+        max("copy_n").as("mc"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(perDoc.keySet === (1L to 9L).toSet, "no doc may be dropped")
+    // every doc emits exactly n_copies rows numbered 1..n_copies
+    perDoc.values.foreach { case (n, nc, mc) =>
+      assert(n === nc && mc === nc)
+    }
+    (1L to 4L).foreach(id => assert(Set(1L, 2L).contains(perDoc(id)._1),
+      "fractional factor 1.5 gives floor or ceil copies"))
+    (5L to 6L).foreach(id => assert(perDoc(id)._1 === 3L,
+      "integer factor 3 must give exactly 3 copies"))
+    (7L to 9L).foreach(id => assert(perDoc(id)._1 === 2L,
+      "integer factor 2 must give exactly 2 copies"))
+    // deterministic: a second evaluation reproduces the identical rows
+    val a = got.collect().map(_.toSeq).toSet
+    val b = graft.pipeline.PipelineOps.corpusMix(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("text_repetition: planted repetitive and clean docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr").toString
+    val docs = Seq(
+      (1L, "spam spam spam spam", "en", "web"),
+      (2L, "alpha beta gamma delta", "en", "web"),
+      (3L, "solo", "en", "web"),
+      (4L, "a b a b a", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.textRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4),
+          r.getInt(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    // all-same doc: top frac 1.0, 3 bigrams all equal → 2 dups
+    assert(got(1L) === ((4, 4L, 1.0, 3, 2, 0.666667, true)))
+    // all-distinct doc: clean on both rules
+    assert(got(2L) === ((4, 1L, 0.25, 3, 0, 0.0, false)))
+    // single word: no bigrams; top frac 1.0 trips the word rule
+    assert(got(3L) === ((1, 1L, 1.0, 0, 0, 0.0, true)))
+    // "a b a b a": top word 3/5 trips; bigram dup frac exactly 0.5 is
+    // NOT over the strict > 0.50 threshold
+    assert(got(4L) === ((5, 3L, 0.6, 4, 2, 0.5, true)))
+  }
+
   test("dedup_apply: audit sums reconcile and the write is idempotent") {
     val sf = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_da").toString +
