@@ -711,6 +711,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => PipelineOps.textFingerprint(s, d)),
     "corpus_mix" -> ((s, d) => PipelineOps.corpusMix(s, d)),
     "text_repetition" -> ((s, d) => PipelineOps.textRepetition(s, d)),
+    "pack_sequences" -> ((s, d) => PipelineOps.packSequences(s, d)),
+    "tfidf_topk" -> ((s, d) => PipelineOps.tfidfTopK(s, d)),
+    "vocab_topk" -> ((s, d) => PipelineOps.vocabTopK(s, d)),
     // ---- engine E2E over the interleaved corpus ----
     "ew_entities" -> ((s, d) => {
       import s.implicits._
@@ -1654,6 +1657,48 @@ object SparkEntry {
            FROM documents d
            JOIN wds w USING (doc_id) JOIN tw t USING (doc_id)
            JOIN bg b USING (doc_id)""",
+      // sequence packing: the oracle is the one-window SPEC of the
+      // engine's two-stage distributed prefix sum (associativity makes
+      // them provably identical; the gate checks row-for-row)
+      "pack_sequences" ->
+        """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+           p AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start FROM t)
+           SELECT doc_id, n_tokens, tok_start,
+             tok_start // 64 AS bin_start,
+             (tok_start + n_tokens - 1) // 64 AS bin_end,
+             (tok_start + n_tokens - 1) // 64 - tok_start // 64 + 1
+               AS n_bins
+           FROM p""",
+      // tf-idf: score = tf/df, ONE IEEE division (bit-identical across
+      // engines; no transcendentals), ties by word asc
+      "tfidf_topk" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text,' '))
+             AS word FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+             GROUP BY 1, 2),
+           df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+           s AS (SELECT doc_id, word, tf, df,
+             round(CAST(tf AS DOUBLE) / df, 6) AS score_r,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) / df DESC, word ASC) AS rank
+             FROM tf JOIN df USING (word))
+           SELECT doc_id, word, tf, df, score_r, rank
+           FROM s WHERE rank <= 3""",
+      "vocab_topk" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text,' '))
+             AS word FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+             GROUP BY 1, 2),
+           v AS (SELECT word, CAST(sum(tf) AS BIGINT) AS n_total,
+             count(*) AS n_docs FROM tf GROUP BY 1)
+           SELECT row_number() OVER (ORDER BY n_total DESC, word)
+             AS rank, word, n_total, n_docs
+           FROM v ORDER BY n_total DESC, word LIMIT 100""",
       "ew_entities" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),

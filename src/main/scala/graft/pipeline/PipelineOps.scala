@@ -1121,4 +1121,149 @@ object PipelineOps {
       round(dupFrac, 6).as("dup_bigram_frac"),
       (topFrac > 0.30 || dupFrac > 0.50).as("repetitive"))
   }
+
+  /** Sequence PACKING for pretraining batches: concatenate the corpus's
+    * token stream in doc_id order and split it into fixed `budget`-token
+    * context windows (the GPT-style pack-then-chunk batching stage).
+    * Per doc: its half-open token interval `[tok_start, tok_start +
+    * n_tokens)` in the global stream and the window (bin) span it lands
+    * in — `n_bins > 1` means the doc straddles a window boundary.
+    *
+    * Scale shape: the global prefix sum is TWO-STAGE, never a
+    * single-partition window over the corpus. (1) Docs bucket by doc_id
+    * range into a FIXED number of buckets; per-bucket token subtotals
+    * are one map-side partial-agg pass emitting ≤ `buckets` rows.
+    * (2) A window over that tiny frame yields exclusive bucket offsets
+    * (broadcast back), and the in-bucket prefix is a window PARTITIONED
+    * by bucket — parallel across buckets. Integer `div` throughout (no
+    * FP in offsets). Non-integer production keys get the same shape via
+    * repartitionByRange + per-partition subtotal offsets.
+    *
+    * The DuckDB oracle is the one-window SPEC (`SUM OVER (ORDER BY
+    * doc_id)`) — prefix-sum associativity makes the two-stage plan's
+    * output provably identical; the gate checks it row-for-row. */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    budget: Long = 64L, buckets: Int = 256): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val toks = d.select($"doc_id",
+      size(words($"text")).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max($"doc_id")).as[Long].head()
+    val width = math.max(1L, (maxId + buckets) / buckets)
+    val t = toks.withColumn("b", expr(s"doc_id div $width"))
+    val wOff = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rows here = #buckets (bounded), so the unpartitioned window is a
+    // driver-sized frame, not a corpus-sized one
+    val offsets = t.groupBy($"b").agg(sum($"n_tokens").as("bt"))
+      .withColumn("b_off", coalesce(sum($"bt").over(wOff), lit(0L)))
+      .select($"b", $"b_off")
+    val wIn = Window.partitionBy($"b").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), Seq("b"))
+      .withColumn("tok_start",
+        $"b_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .withColumn("bin_start", expr(s"tok_start div $budget"))
+      .withColumn("bin_end",
+        expr(s"(tok_start + n_tokens - 1) div $budget"))
+      .select($"doc_id", $"n_tokens", $"tok_start", $"bin_start",
+        $"bin_end", ($"bin_end" - $"bin_start" + 1L).as("n_bins"))
+  }
+
+  /** Per-doc (distinct word, in-doc count) pairs computed INSIDE the row:
+    * sort the word array once, run-length encode it in ONE `aggregate`
+    * pass, emit one struct per RUN — so the explode downstream is one
+    * row per distinct word per doc (vocab-bounded), not one per word
+    * occurrence of a 100 TB corpus. Fully map-side.
+    *
+    * Everything the lambdas touch is a BOUND lambda variable (acc, w) —
+    * never an outer expression. Higher-order functions are interpreted
+    * (no whole-stage codegen), and an outer expression referenced inside
+    * a lambda is RE-EVALUATED per element: a first cut that indexed into
+    * `filter(sequence(...), get(sort(split(...)), i) ...)` from inside a
+    * second `transform` re-ran the split+sort chain per (element ×
+    * element) and cost 50 s on 500 docs. This shape is O(words) evals +
+    * O(runs) array copies per row — measured 400× faster. */
+  private def wordRuns(ws: Column): Column = {
+    val z = struct(
+      array().cast("array<struct<word:string,tf:bigint>>").as("runs"),
+      lit("").as("prev"), lit(0L).as("c"))
+    val step = (acc: Column, w: Column) => {
+      val runs = acc.getField("runs")
+      val prev = acc.getField("prev")
+      val c = acc.getField("c")
+      when(c === 0L, struct(runs.as("runs"), w.as("prev"),
+        lit(1L).as("c")))
+        .when(w === prev, struct(runs.as("runs"), prev.as("prev"),
+          (c + 1L).as("c")))
+        .otherwise(struct(
+          concat(runs, array(struct(prev.as("word"), c.as("tf"))))
+            .as("runs"),
+          w.as("prev"), lit(1L).as("c")))
+    }
+    val fin = (acc: Column) =>
+      when(acc.getField("c") === 0L, acc.getField("runs"))
+        .otherwise(concat(acc.getField("runs"),
+          array(struct(acc.getField("prev").as("word"),
+            acc.getField("c").as("tf")))))
+    aggregate(array_sort(ws), z, step, fin)
+  }
+
+  /** TF-IDF keyword extraction: top-`k` terms per doc scored tf/df
+    * (a ratio of two integers — one IEEE division, bit-identical across
+    * engines; no log/transcendentals), ties broken by term asc.
+    *
+    * Scale shape: per-doc term frequencies come from [[wordRuns]]
+    * (map-side run-length encoding of the sorted word array — the
+    * explode emits distinct-words-per-doc, not words-per-doc); document
+    * frequency is one partial-agg pass over those pairs (vocab-sized
+    * output); the df join is broadcast (a natural-language vocab fits in
+    * memory; a truly unbounded key domain would fall back to a shuffle
+    * join on the same plan); top-k per doc is a per-doc window. */
+  def tfidfTopK(spark: SparkSession, sfDir: String,
+                k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val pairs = d
+      .select($"doc_id", explode(wordRuns(words($"text"))).as("r"))
+      .select($"doc_id", $"r.word".as("word"), $"r.tf".as("tf"))
+    // df from the cheap array_distinct path, not a second wordRuns pass
+    // (pairs is referenced once more below; Spark would recompute the
+    // interpreted RLE aggregate for the df branch otherwise)
+    val df = d
+      .select(explode(array_distinct(words($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val score = $"tf".cast("double") / $"df"
+    val w = Window.partitionBy($"doc_id").orderBy(score.desc, $"word")
+    pairs.join(broadcast(df), Seq("word"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"doc_id", $"word", $"tf", $"df",
+        round(score, 6).as("score_r"), $"rank")
+  }
+
+  /** Corpus VOCABULARY build: top-`k` words by total occurrence count
+    * (ties by word asc) with their document frequencies — the tokenizer-
+    * vocab / frequency-table stage of a training-data pipeline.
+    *
+    * Scale shape: occurrence counts aggregate the [[wordRuns]] pairs
+    * (map-side partial agg); the global top-k is `orderBy().limit(k)`,
+    * which Spark plans as TakeOrderedAndProject — per-partition heaps +
+    * a k-row driver merge, NOT a single-partition global sort. The rank
+    * column is a window over the already-reduced k rows only. */
+  def vocabTopK(spark: SparkSession, sfDir: String,
+                k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val pairs = d
+      .select($"doc_id", explode(wordRuns(words($"text"))).as("r"))
+      .select($"doc_id", $"r.word".as("word"), $"r.tf".as("tf"))
+    val vocab = pairs.groupBy($"word")
+      .agg(sum($"tf").as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy($"n_total".desc, $"word")
+      .limit(k)
+    val w = Window.orderBy($"n_total".desc, $"word")
+    vocab.withColumn("rank", row_number().over(w))
+      .select($"rank", $"word", $"n_total", $"n_docs")
+  }
 }

@@ -599,6 +599,86 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) === ((5, 3L, 0.6, 4, 2, 0.5, true)))
   }
 
+  test("pack_sequences: interval math + two-stage prefix == serial spec") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps").toString
+    // token counts 3, 4, 1, 6, 2 → serial prefix 0, 3, 7, 8, 14
+    val docs = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "a b c d", "en", "web"),
+      (3L, "x", "en", "web"),
+      (9L, "a b c d e f", "en", "web"),
+      (10L, "y z", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // budget 5, buckets 2 → width 6: docs 1-3 in bucket 0, 9-10 in
+    // bucket 1 — the cross-bucket offset path is exercised
+    val got = graft.pipeline.PipelineOps
+      .packSequences(spark, dir, budget = 5L, buckets = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((3L, 0L, 0L, 0L, 1L)))
+    assert(got(2L) === ((4L, 3L, 0L, 1L, 2L)), "doc 2 straddles bins 0-1")
+    assert(got(3L) === ((1L, 7L, 1L, 1L, 1L)))
+    assert(got(9L) === ((6L, 8L, 1L, 2L, 2L)))
+    assert(got(10L) === ((2L, 14L, 2L, 3L, 2L)))
+    // invariant vs the serial spec at an adversarial bucket count: the
+    // two-stage prefix must equal a plain sorted cumulative sum
+    val wide = graft.pipeline.PipelineOps
+      .packSequences(spark, dir, budget = 5L, buckets = 257)
+      .select("doc_id", "tok_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wide === got.map { case (k, v) => k -> v._2 })
+  }
+
+  test("tfidf_topk: integer-ratio scores and word-asc tie order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    // "rare" appears only in doc 1 (df=1); "common" in all three (df=3)
+    val docs = Seq(
+      (1L, "rare common common", "en", "web"),
+      (2L, "common alpha beta", "en", "web"),
+      (3L, "common alpha alpha", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.tfidfTopK(spark, dir, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc 1: rare tf1/df1 = 1.0 beats common tf2/df3 = 0.666667
+    assert(got((1L, 1)) === (("rare", 1L, 1L, 1.0)))
+    assert(got((1L, 2)) === (("common", 2L, 3L, 0.666667)))
+    // doc 3: alpha tf2/df2 = 1.0 beats common tf1/df3
+    assert(got((3L, 1)) === (("alpha", 2L, 2L, 1.0)))
+    // doc 2: alpha tf1/df2 = beta tf1/df1? no — beta df=1 → 1.0 wins,
+    // then alpha 0.5 over common 0.333333
+    assert(got((2L, 1)) === (("beta", 1L, 1L, 1.0)))
+    assert(got((2L, 2)) === (("alpha", 1L, 2L, 0.5)))
+  }
+
+  test("vocab_topk: totals, doc frequencies, count-desc word-asc rank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt").toString
+    val docs = Seq(
+      (1L, "b a b", "en", "web"),
+      (2L, "a b c", "en", "web"),
+      (3L, "c a", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.vocabTopK(spark, dir, k = 2)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3))))
+    // a: 3 total / 3 docs, b: 3 total / 2 docs — tie on total, 'a' < 'b'
+    assert(got.toSeq.sortBy(_._1) === Seq(
+      1 -> (("a", 3L, 3L)), 2 -> (("b", 3L, 2L))))
+  }
+
   test("dedup_apply: audit sums reconcile and the write is idempotent") {
     val sf = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_da").toString +
