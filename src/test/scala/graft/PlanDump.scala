@@ -35,6 +35,9 @@ object PlanDump {
     dump("f2_tile_cell", SparkEntry.queries("f2_tile_cell")(spark, sf))
     dump("dedup_minhash_pairs", SparkEntry.queries("dedup_minhash_pairs")(spark, sf))
     dump("ann_cosine_topk", SparkEntry.queries("ann_cosine_topk")(spark, sf))
+    dump("pack_sequences", SparkEntry.queries("pack_sequences")(spark, sf))
+    dump("tfidf_topk", SparkEntry.queries("tfidf_topk")(spark, sf))
+    dump("vocab_topk", SparkEntry.queries("vocab_topk")(spark, sf))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/plans.txt"), sb.toString)
     println("[plandump] written target/plans.txt")
