@@ -714,6 +714,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => PipelineOps.packSequences(s, d)),
     "tfidf_topk" -> ((s, d) => PipelineOps.tfidfTopK(s, d)),
     "vocab_topk" -> ((s, d) => PipelineOps.vocabTopK(s, d)),
+    "bigram_topk" -> ((s, d) => PipelineOps.bigramTopK(s, d)),
+    "source_cap" -> ((s, d) => PipelineOps.sourceCap(s, d)),
     // ---- engine E2E over the interleaved corpus ----
     "ew_entities" -> ((s, d) => {
       import s.implicits._
@@ -1699,6 +1701,30 @@ object SparkEntry {
            SELECT row_number() OVER (ORDER BY n_total DESC, word)
              AS rank, word, n_total, n_docs
            FROM v ORDER BY n_total DESC, word LIMIT 100""",
+      "bigram_topk" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+           b AS (SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)])
+               AS pair
+             FROM w WHERE len(ws) >= 2),
+           tf AS (SELECT doc_id, pair, count(*) AS tf FROM b
+             GROUP BY 1, 2),
+           v AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n_total,
+             count(*) AS n_docs FROM tf GROUP BY 1)
+           SELECT row_number() OVER (ORDER BY n_total DESC, pair)
+             AS rank, pair, n_total, n_docs
+           FROM v ORDER BY n_total DESC, pair LIMIT 100""",
+      "source_cap" ->
+        """WITH c AS (SELECT source, count(*) AS n_source FROM documents
+             GROUP BY 1),
+           r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents)
+           SELECT r.doc_id, r.source, c.n_source,
+             (c.n_source <= 10 OR r.rk <= 10) AS kept
+           FROM r JOIN c USING (source)""",
       "ew_entities" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),

@@ -1266,4 +1266,69 @@ object PipelineOps {
     vocab.withColumn("rank", row_number().over(w))
       .select($"rank", $"word", $"n_total", $"n_docs")
   }
+
+  /** BPE merge-candidate mining: top-`k` ADJACENT word pairs by total
+    * corpus count (ties by pair asc) with document frequencies — the
+    * pair-statistics stage of byte-pair/WordPiece tokenizer training
+    * (each BPE round promotes the most frequent adjacent pair; one round
+    * over a 100 TB corpus is exactly this job).
+    *
+    * Scale shape: identical to [[vocabTopK]] — per-doc pair counts are a
+    * map-side run-length encode of the SORTED bigram array ([[wordRuns]]
+    * over [[shingles2]]: the explode emits one row per DISTINCT pair per
+    * doc, not one per word position), then one partial-agg pass; the
+    * global top-k plans as TakeOrderedAndProject (per-partition heaps +
+    * a k-row driver merge, never a single-partition global sort). */
+  def bigramTopK(spark: SparkSession, sfDir: String,
+                 k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val pairs = d
+      .select($"doc_id", explode(wordRuns(shingles2(words($"text")))).as("r"))
+      .select($"r.word".as("pair"), $"r.tf".as("tf"))
+    val top = pairs.groupBy($"pair")
+      .agg(sum($"tf").as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy($"n_total".desc, $"pair")
+      .limit(k)
+    val w = Window.orderBy($"n_total".desc, $"pair")
+    top.withColumn("rank", row_number().over(w))
+      .select($"rank", $"pair", $"n_total", $"n_docs")
+  }
+
+  /** Per-source document cap (the crawl pipeline's "domain cap": no one
+    * source may contribute more than `cap` docs): emits a kept/dropped
+    * decision per document. Kept = deterministic rank within the source
+    * ≤ `cap`, ranked by md5 of the rendered doc_id (a stable per-doc
+    * uniform, reproducible across engines, retries and cluster sizes —
+    * a seeded rand() is partition-order-dependent under AQE/retries),
+    * ties by doc_id.
+    *
+    * Scale shape: the source histogram is one partial-agg pass (output =
+    * #sources, tiny); only documents of OVER-CAP sources go through the
+    * rank window, gated by a broadcast join against the over-cap list —
+    * under-cap documents pass through with NO shuffle. At web scale the
+    * over-cap set is the skewed head (the few giant domains) — exactly
+    * the traffic the window must see — while the long tail, most of the
+    * corpus, never shuffles. A window partitioned by raw `source` over
+    * the whole corpus would put the biggest domain in one task; the
+    * pre-filter bounds that task to the head domains only, and a
+    * pathological single mega-domain would additionally salt the rank
+    * (two-stage top-cap) on the same plan. */
+  def sourceCap(spark: SparkSession, sfDir: String,
+                cap: Int = 10): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    val over = counts.where($"n_source" > cap)
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    val ranked = d.join(broadcast(over), Seq("source"))
+      .withColumn("kept", row_number().over(w) <= cap)
+    val pass = d
+      .join(broadcast(over.select($"source")), Seq("source"), "left_anti")
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("kept", lit(true))
+    ranked.select($"doc_id", $"source", $"n_source", $"kept")
+      .unionByName(pass.select($"doc_id", $"source", $"n_source", $"kept"))
+  }
 }

@@ -823,4 +823,51 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(5) == 0L, "unexpected decoded layer")
     }
   }
+
+  test("bigram_topk: adjacent-pair totals, doc freq, pair-asc tie order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bg").toString
+    // doc 1 pairs: "a b"×2, "b a"; doc 2: "a b", "b c"; doc 3 (1 word): none
+    val docs = Seq(
+      (1L, "a b a b", "en", "web"),
+      (2L, "a b c", "en", "web"),
+      (3L, "x", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.bigramTopK(spark, dir, k = 2)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3))))
+    // "a b": 3 total / 2 docs; then the 1-total tie breaks "b a" < "b c"
+    assert(got.toSeq.sortBy(_._1) === Seq(
+      1 -> (("a b", 3L, 2L)), 2 -> (("b a", 1L, 1L))))
+  }
+
+  test("source_cap: over-cap sources ranked by md5, under-cap pass free") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc").toString
+    val docs = Seq(
+      (1L, "t", "en", "big"), (2L, "t", "en", "big"),
+      (3L, "t", "en", "big"), (4L, "t", "en", "big"),
+      (10L, "t", "en", "small"), (11L, "t", "en", "small"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.sourceCap(spark, dir, cap = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.size === 6)
+    // md5("4") < md5("1") < md5("2") < md5("3") → doc 3 is the one cut
+    assert(got(3L) === (("big", 4L, false)))
+    Seq(1L, 2L, 4L).foreach(id => assert(got(id) === (("big", 4L, true))))
+    // under-cap source: every doc kept, no rank taken
+    Seq(10L, 11L).foreach(id =>
+      assert(got(id) === (("small", 2L, true))))
+    // cap above every source count: nothing ranked, everything kept
+    val pass = graft.pipeline.PipelineOps.sourceCap(spark, dir, cap = 10)
+      .collect()
+    assert(pass.length === 6 && pass.forall(_.getBoolean(3)))
+  }
 }

@@ -38,6 +38,8 @@ object PlanDump {
     dump("pack_sequences", SparkEntry.queries("pack_sequences")(spark, sf))
     dump("tfidf_topk", SparkEntry.queries("tfidf_topk")(spark, sf))
     dump("vocab_topk", SparkEntry.queries("vocab_topk")(spark, sf))
+    dump("bigram_topk", SparkEntry.queries("bigram_topk")(spark, sf))
+    dump("source_cap", SparkEntry.queries("source_cap")(spark, sf))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/plans.txt"), sb.toString)
     println("[plandump] written target/plans.txt")
