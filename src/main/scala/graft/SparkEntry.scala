@@ -716,6 +716,9 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) => PipelineOps.vocabTopK(s, d)),
     "bigram_topk" -> ((s, d) => PipelineOps.bigramTopK(s, d)),
     "source_cap" -> ((s, d) => PipelineOps.sourceCap(s, d)),
+    "corpus_shuffle" -> ((s, d) => PipelineOps.corpusShuffle(s, d)),
+    "embed_quantize" -> ((s, d) => PipelineOps.embedQuantize(s, d)),
+    "pipeline_funnel" -> ((s, d) => PipelineOps.pipelineFunnel(s, d)),
     // ---- engine E2E over the interleaved corpus ----
     "ew_entities" -> ((s, d) => {
       import s.implicits._
@@ -1059,6 +1062,42 @@ object SparkEntry {
              FROM cand
              JOIN embeddings ea ON ea.vec_id = vec_a
              JOIN embeddings eb ON eb.vec_id = vec_b)"""
+    // embed_quantize re-derivation, generated for the 64 fixed dims:
+    // per-dim min/max codebook → affine int8 code (floor(x·255+0.5),
+    // clamped) → md5 code fingerprint + left-assoc summed squared
+    // reconstruction error. Every step is IEEE +,−,·,/ on doubles in
+    // the same evaluation order as the engine's expression tree.
+    val embedQuantizeOracle = {
+      val dims = 64
+      def v(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+      val mins = (0 until dims).map(i =>
+        s"min(${v(i)}) AS mn_$i, max(${v(i)}) AS mx_$i").mkString(", ")
+      val codes = (0 until dims).map(i =>
+        s"CASE WHEN mx_$i = mn_$i THEN 0 ELSE GREATEST(0, LEAST(255," +
+          s" CAST(floor((${v(i)} - mn_$i) / (mx_$i - mn_$i) * 255.0" +
+          s" + 0.5) AS BIGINT))) END AS c_$i").mkString(", ")
+      // variadic concat_ws, not chained || — DuckDB's binder caps
+      // expression nesting at 128 and 63 chained binaries blow it
+      val fp = (0 until dims).map(i => s"CAST(c_$i AS VARCHAR)")
+        .mkString("concat_ws(',', ", ", ", ")")
+      def recon(i: Int) =
+        s"(mn_$i + CAST(c_$i AS DOUBLE) * ((mx_$i - mn_$i) / 255.0))"
+      def term(i: Int) =
+        s"(${v(i)} - ${recon(i)}) * (${v(i)} - ${recon(i)})"
+      // the error sum stays a LEFT-ASSOC fold (FP addition order is part
+      // of the spec); split across a CTE to stay under the nesting cap:
+      // ((t0+…+t31) + t32) + … + t63 is the same tree as one chain
+      val errLo = (0 until dims / 2).map(term).mkString(" + ")
+      val errHi = (dims / 2 until dims).map(i => s" + ${term(i)}")
+        .mkString
+      s"""WITH s AS (SELECT $mins FROM embeddings),
+         k AS (SELECT e.vec_id, e.embedding, s.*, $codes
+           FROM embeddings e, s),
+         k2 AS (SELECT *, $errLo AS err_lo FROM k)
+         SELECT vec_id, md5($fp) AS codes_fp, c_0 AS c_first,
+           c_${dims - 1} AS c_last, round(err_lo$errHi, 6) AS sq_err_r
+         FROM k2"""
+    }
     // ann_lsh_topk re-derivation: 16 tables (the op's default), query
     // buckets NOT hot-filtered (only the posting-list side is — a query
     // in a dropped bucket gets no candidates from that table), exact
@@ -1725,6 +1764,60 @@ object SparkEntry {
            SELECT r.doc_id, r.source, c.n_source,
              (c.n_source <= 10 OR r.rk <= 10) AS kept
            FROM r JOIN c USING (source)""",
+      // corpus shuffle: the oracle is the one-window SPEC of the
+      // engine's two-stage bucket-prefix rank (bucket = key prefix ⇒
+      // bucket-major order ≡ global key order); split thresholds on
+      // the md5-u32 uniform (the corpus_mix precedent)
+      "corpus_shuffle" ->
+        """WITH s AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef', substr(
+                 md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 << ((8 - i) * 4))) AS DOUBLE) / 4294967296.0 AS u
+             FROM documents)
+           SELECT doc_id, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id)
+               AS shuffle_rank,
+             CASE WHEN u < 0.90 THEN 'train'
+               WHEN u < 0.95 THEN 'valid' ELSE 'test' END AS split
+           FROM s""",
+      "embed_quantize" -> embedQuantizeOracle,
+      // filter funnel: each stage re-derived set-wise (the
+      // text_repetition oracle pattern), composed in the fixed order
+      // lang → len → quality → repetition
+      "pipeline_funnel" ->
+        """WITH wds AS (SELECT doc_id, string_split(text,' ') AS w
+             FROM documents),
+           wc AS (SELECT doc_id, wrd, count(*) AS c FROM
+             (SELECT doc_id, unnest(w) AS wrd FROM wds) GROUP BY 1, 2),
+           tw AS (SELECT doc_id, max(c) AS top_n FROM wc GROUP BY 1),
+           bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS sh FROM wds),
+           fl AS (SELECT d.doc_id,
+             (d.lang = 'en') AS pass_lang,
+             (len(w.w) >= 25) AS pass_len,
+             (CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w)
+               >= 0.35) AS pass_quality,
+             NOT ((CAST(t.top_n AS DOUBLE) / len(w.w) > 0.30) OR
+               (CASE WHEN len(b.sh) > 0 THEN
+                 CAST(len(b.sh) - len(list_distinct(b.sh)) AS DOUBLE)
+                   / len(b.sh) ELSE 0.0 END > 0.50))
+               AS pass_repetition
+             FROM documents d JOIN wds w USING (doc_id)
+             JOIN tw t USING (doc_id) JOIN bg b USING (doc_id))
+           SELECT doc_id, pass_lang, pass_len, pass_quality,
+             pass_repetition,
+             (pass_lang AND pass_len AND pass_quality
+               AND pass_repetition) AS kept,
+             CASE WHEN NOT pass_lang THEN 'lang'
+               WHEN NOT pass_len THEN 'len'
+               WHEN NOT pass_quality THEN 'quality'
+               WHEN NOT pass_repetition THEN 'repetition'
+               ELSE 'none' END AS fail_stage
+           FROM fl""",
       "ew_entities" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),

@@ -1331,4 +1331,151 @@ object PipelineOps {
     ranked.select($"doc_id", $"source", $"n_source", $"kept")
       .unionByName(pass.select($"doc_id", $"source", $"n_source", $"kept"))
   }
+
+  /** Deterministic global corpus SHUFFLE + split assignment — the stage
+    * that randomizes training order and carves train/valid/test holdouts.
+    * `shuffle_key` = md5 of the rendered doc_id (content-independent,
+    * reproducible across engines, retries and cluster sizes — a seeded
+    * shuffle() is partition-order-dependent under AQE/retries);
+    * `shuffle_rank` = the doc's position in the md5-ordered corpus;
+    * `split` buckets the [[docUniform]] uniform at 0.90 / 0.95.
+    *
+    * Scale shape: the global rank is TWO-STAGE (the [[packSequences]]
+    * prefix-sum pattern keyed by the md5 key itself) — never a
+    * single-partition window over the corpus. Bucket = first 2 hex chars
+    * of the key (256 buckets, uniform by construction since md5 is);
+    * per-bucket counts are one partial-agg pass, exclusive bucket
+    * offsets come from a window over that 256-row frame, and the
+    * in-bucket rank is a window PARTITIONED by bucket. Because the
+    * bucket is a PREFIX of the sort key, bucket-major order ≡ global
+    * key order, so two-stage rank ≡ the oracle's one global
+    * row_number — checked row-for-row by the gate. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val t = d.select($"doc_id",
+      md5($"doc_id".cast("string").cast("binary")).as("shuffle_key"))
+      .withColumn("b",
+        conv(substring($"shuffle_key", 1, 2), 16, 10).cast("int"))
+    val wOff = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rows here = #buckets (≤ 256): a driver-sized frame, not the corpus
+    val offsets = t.groupBy($"b").agg(count(lit(1)).as("bn"))
+      .withColumn("b_off", coalesce(sum($"bn").over(wOff), lit(0L)))
+      .select($"b", $"b_off")
+    val wIn = Window.partitionBy($"b").orderBy($"shuffle_key", $"doc_id")
+    val u = docUniform($"doc_id")
+    t.join(broadcast(offsets), Seq("b"))
+      .withColumn("shuffle_rank", $"b_off" + row_number().over(wIn))
+      .withColumn("split",
+        when(u < 0.90, "train").when(u < 0.95, "valid").otherwise("test"))
+      .select($"doc_id", $"shuffle_key", $"shuffle_rank", $"split")
+  }
+
+  /** Embedding dimensionality of the test tables (fixed by TESTDATA.md;
+    * asserted at runtime so a corpus change fails loudly instead of
+    * silently quantizing a prefix). */
+  private val EmbDims = 64
+
+  /** Scalar QUANTIZATION of the embedding corpus to int8 codes — the
+    * compression stage a 10^12-vector ANN index needs (raw float32 at
+    * 64 dims is 256 B/vector; SQ8 is 64 B plus a 2-row codebook).
+    * Per-dimension affine quantizer: code_i = floor((v_i − min_i) /
+    * (max_i − min_i) · 255 + 0.5) clamped to [0,255]; reconstruction
+    * v̂_i = min_i + code_i · (max_i − min_i)/255. Emits the per-vector
+    * code fingerprint, first/last codes, and the rounded squared
+    * reconstruction error — every arithmetic step is IEEE +,−,·,/ on
+    * doubles in a FIXED evaluation order, so the DuckDB oracle
+    * reproduces it bit-for-bit (same reasoning as [[embPlane]]).
+    *
+    * Scale shape: the codebook (per-dim min/max) is ONE partial-agg pass
+    * of 2·d scalar aggregates over the corpus — no explode to (dim,
+    * value) rows (which would shuffle d× the corpus); the 1-row result
+    * broadcasts back and coding is pure map-side. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val dims = EmbDims
+    val aggs = (0 until dims).flatMap { i =>
+      val v = element_at($"embedding", i + 1).cast("double")
+      Seq(min(v).as(s"mn_$i"), max(v).as(s"mx_$i"))
+    }
+    val stats = e.agg(aggs.head, aggs.tail: _*)
+    def vAt(i: Int) = element_at($"embedding", i + 1).cast("double")
+    def code(i: Int): Column = {
+      val mn = col(s"mn_$i"); val mx = col(s"mx_$i")
+      when(mx === mn, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((vAt(i) - mn) / (mx - mn) * 255.0 + 0.5))))
+    }
+    def errTerm(i: Int): Column = {
+      val mn = col(s"mn_$i"); val mx = col(s"mx_$i")
+      val recon = mn + code(i).cast("double") * ((mx - mn) / 255.0)
+      val dlt = vAt(i) - recon
+      dlt * dlt
+    }
+    // fixed left-to-right fold: FP addition order is part of the spec
+    val err = (0 until dims).map(errTerm).reduceLeft(_ + _)
+    // dim guard rides INSIDE the output expression (an unreferenced
+    // check column would be pruned by Catalyst and never evaluated)
+    val codesStr = when(size($"embedding") =!= dims,
+      raise_error(concat(lit(s"embedQuantize: expected $dims dims, got "),
+        size($"embedding").cast("string"))))
+      .otherwise(concat_ws(",",
+        (0 until dims).map(i => code(i).cast("string")): _*))
+    e.crossJoin(broadcast(stats))
+      .select(
+        $"vec_id",
+        md5(codesStr).as("codes_fp"),
+        code(0).as("c_first"),
+        code(dims - 1).as("c_last"),
+        round(err, 6).as("sq_err_r"))
+  }
+
+  /** Filter FUNNEL — the composed keep/drop decision a real cleaning
+    * pipeline runs, with per-stage attribution (every corpus report
+    * shows attrition per stage, not just a final keep bit). Stages in
+    * fixed order: lang (en only), len (≥ 25 words), quality
+    * (uniq_ratio ≥ 0.35), repetition (the [[textRepetition]] Gopher
+    * thresholds). `fail_stage` = first failing stage; all stage booleans
+    * are still emitted for every doc so stage-conditional attrition
+    * (funnel matrices) aggregates straight off the output.
+    *
+    * Scale shape: one pass, fully map-side — every stage is computed
+    * INSIDE the row (the repetition run-length trick from
+    * [[textRepetition]]); no joins, no shuffle at all. */
+  def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val ws = words($"text")
+    val sh = shingles2(ws)
+    val top = aggregate(array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupFrac = when(size(sh) > 0,
+      (size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
+      .otherwise(lit(0.0))
+    val topFrac = top.cast("double") / size(ws)
+    val passLang = $"lang" === "en"
+    val passLen = size(ws) >= 25
+    val passQuality =
+      size(array_distinct(ws)).cast("double") / size(ws) >= 0.35
+    val passRep = !(topFrac > 0.30 || dupFrac > 0.50)
+    d.select(
+      $"doc_id",
+      passLang.as("pass_lang"),
+      passLen.as("pass_len"),
+      passQuality.as("pass_quality"),
+      passRep.as("pass_repetition"),
+      (passLang && passLen && passQuality && passRep).as("kept"),
+      when(!passLang, "lang").when(!passLen, "len")
+        .when(!passQuality, "quality").when(!passRep, "repetition")
+        .otherwise("none").as("fail_stage"))
+  }
 }

@@ -870,4 +870,133 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     assert(pass.length === 6 && pass.forall(_.getBoolean(3)))
   }
+
+  test("corpus_shuffle: two-stage bucket rank == serial md5 rank; splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    // 200 scattered ids → some 2-hex-char buckets collide, most are
+    // empty/singleton — the sparse/uneven bucket shapes both exercised
+    val ids = (0 until 200).map(i => i.toLong * 37L + (i % 7))
+    ids.map(id => (id, "t", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .repartition(8) // rank must not depend on input partitioning
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.corpusShuffle(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // serial spec: global rank by (md5(doc_id), doc_id)
+    val want = ids.map(id => (md5hex(id.toString), id)).sorted
+      .zipWithIndex.map { case ((k, id), i) => id -> ((k, i + 1L)) }.toMap
+    ids.foreach { id =>
+      assert(got(id)._1 === want(id)._1, s"key of $id")
+      assert(got(id)._2 === want(id)._2, s"rank of $id")
+    }
+    // split thresholds on the doc uniform: u = first 8 md5 hex chars/2^32
+    ids.foreach { id =>
+      val u = java.lang.Long.parseLong(
+        md5hex(id.toString).take(8), 16).toDouble / 4294967296.0
+      val exp = if (u < 0.90) "train" else if (u < 0.95) "valid"
+                else "test"
+      assert(got(id)._3 === exp, s"split of $id")
+    }
+    // every rank exactly once (the two-stage offsets leave no gaps)
+    assert(got.values.map(_._2).toSeq.sorted === (1L to 200L))
+  }
+
+  test("embed_quantize: affine int8 codes, recon error, dim guard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eq").toString
+    // dim 0 constant (mx==mn branch), dim 1 spans [-2, 6], the rest vary
+    // deterministically per (vector, dim)
+    def emb(v: Int): Seq[Float] = (0 until 64).map { d =>
+      if (d == 0) 3.5f
+      else if (d == 1) Seq(-2f, 0f, 1f, 6f, 2f)(v)
+      else (v * 31 + d * 17) % 13 - 6.0f
+    }
+    (0 until 5).map(v => (v.toLong, emb(v), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = graft.pipeline.PipelineOps.embedQuantize(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 5)
+    // Scala re-derivation with the identical double math
+    val cols = (0 until 64).map(d => (0 until 5).map(v =>
+      emb(v)(d).toDouble))
+    val mn = cols.map(_.min); val mx = cols.map(_.max)
+    def code(v: Int, d: Int): Long =
+      if (mx(d) == mn(d)) 0L
+      else math.max(0L, math.min(255L, math.floor(
+        (emb(v)(d).toDouble - mn(d)) / (mx(d) - mn(d)) * 255.0 + 0.5)
+        .toLong))
+    (0 until 5).foreach { v =>
+      val codes = (0 until 64).map(d => code(v, d))
+      val err = (0 until 64).map { d =>
+        val recon = mn(d) + code(v, d).toDouble * ((mx(d) - mn(d)) / 255.0)
+        val dl = emb(v)(d).toDouble - recon
+        dl * dl
+      }.reduceLeft(_ + _)
+      val fpExp = java.security.MessageDigest.getInstance("MD5")
+        .digest(codes.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(got(v.toLong)._1 === fpExp, s"codes_fp of $v")
+      assert(got(v.toLong)._2 === 0L, "constant dim codes to 0")
+      assert(got(v.toLong)._3 === codes(63), s"c_last of $v")
+      assert(got(v.toLong)._4 ===
+        BigDecimal(err).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"sq_err_r of $v")
+    }
+    // min/max of a spanning dim hit the code range ends: dim 1 vectors
+    // 0 (min) and 3 (max)
+    assert(code(0, 1) === 0L && code(3, 1) === 255L)
+    // dim guard: a 3-dim corpus fails loudly, not silently
+    val bad = java.nio.file.Files.createTempDirectory("graft_eqb").toString
+    Seq((1L, Seq(1.0f, 2.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$bad/embeddings.parquet")
+    val ex = intercept[Exception] {
+      graft.pipeline.PipelineOps.embedQuantize(spark, bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pipeline_funnel: first-fail attribution in fixed stage order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pf").toString
+    val w30 = (1 to 30).map(i => s"w$i").mkString(" ") // 30 uniq words
+    val docs = Seq(
+      // passes everything
+      (1L, w30, "en", "web"),
+      // wrong lang AND short — lang attributed (first stage)
+      (2L, "a b", "de", "web"),
+      // en but 24 words < 25
+      (3L, (1 to 24).map(i => s"w$i").mkString(" "), "en", "web"),
+      // 30 words, only 9 distinct → uniq_ratio 0.3 < 0.35
+      (4L, (1 to 30).map(i => s"w${i % 9}").mkString(" "), "en", "web"),
+      // 40 words, 14 distinct (ratio 0.35 passes) but top word 27/40
+      // > 0.30 → repetition is the first failing stage
+      (5L, ((1 to 27).map(_ => "x") ++ (1 to 13).map(i => s"w$i"))
+        .mkString(" "), "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.pipelineFunnel(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getString(6)))).toMap
+    assert(got(1L) === ((true, true, true, true, true, "none")))
+    // doc 2 also trips repetition (top frac 1/2 > 0.30) — but lang is
+    // the FIRST failing stage and wins the attribution
+    assert(got(2L) === ((false, false, true, false, false, "lang")))
+    assert(got(3L) === ((true, false, true, true, false, "len")))
+    assert(got(4L)._6 === "quality" && !got(4L)._5)
+    assert(got(5L)._6 === "repetition" && !got(5L)._5 && got(5L)._3)
+  }
 }

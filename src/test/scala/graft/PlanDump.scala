@@ -40,6 +40,9 @@ object PlanDump {
     dump("vocab_topk", SparkEntry.queries("vocab_topk")(spark, sf))
     dump("bigram_topk", SparkEntry.queries("bigram_topk")(spark, sf))
     dump("source_cap", SparkEntry.queries("source_cap")(spark, sf))
+    dump("corpus_shuffle", SparkEntry.queries("corpus_shuffle")(spark, sf))
+    dump("embed_quantize", SparkEntry.queries("embed_quantize")(spark, sf))
+    dump("pipeline_funnel", SparkEntry.queries("pipeline_funnel")(spark, sf))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/plans.txt"), sb.toString)
     println("[plandump] written target/plans.txt")
