@@ -719,6 +719,8 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => PipelineOps.corpusShuffle(s, d)),
     "embed_quantize" -> ((s, d) => PipelineOps.embedQuantize(s, d)),
     "pipeline_funnel" -> ((s, d) => PipelineOps.pipelineFunnel(s, d)),
+    "dup_ngram_frac" -> ((s, d) => PipelineOps.dupNgramFrac(s, d)),
+    "corpus_stats" -> ((s, d) => PipelineOps.corpusStats(s, d)),
     // ---- engine E2E over the interleaved corpus ----
     "ew_entities" -> ((s, d) => {
       import s.implicits._
@@ -1818,6 +1820,52 @@ object SparkEntry {
                WHEN NOT pass_repetition THEN 'repetition'
                ELSE 'none' END AS fail_stage
            FROM fl""",
+      // duplicated-5-gram fraction: distinct (doc, shingle) → shingle
+      // document frequency → fan-out-1 join back; division is one IEEE
+      // double op (the jaccard_r precedent)
+      "dup_ngram_frac" ->
+        """WITH wds AS (SELECT doc_id, string_split(text,' ') AS w
+             FROM documents),
+           g AS (SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN
+               list_transform(generate_series(1, len(w) - 4),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                   w[i+3] || ' ' || w[i+4])
+               ELSE [] END) AS sh FROM wds)),
+           df AS (SELECT sh, count(*) AS df FROM g GROUP BY 1),
+           per AS (SELECT g.doc_id, count(*) AS n_5grams,
+             count(CASE WHEN df.df >= 2 THEN 1 END) AS n_dup_5grams
+             FROM g JOIN df USING (sh) GROUP BY 1)
+           SELECT d.doc_id,
+             COALESCE(p.n_5grams, 0) AS n_5grams,
+             COALESCE(p.n_dup_5grams, 0) AS n_dup_5grams,
+             CASE WHEN p.n_5grams > 0 THEN
+               round(CAST(p.n_dup_5grams AS DOUBLE) / p.n_5grams, 6)
+             END AS dup_frac_r
+           FROM documents d LEFT JOIN per p USING (doc_id)""",
+      // corpus stats: exact p50/p90 via the value-histogram rank window
+      // (percentile_disc semantics, integer rank thresholds)
+      "corpus_stats" ->
+        """WITH tot AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT lang) AS n_langs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             FROM documents GROUP BY 1),
+           hist AS (SELECT source, n_chars, count(*) AS cnt
+             FROM documents GROUP BY 1, 2),
+           cum AS (SELECT source, n_chars, sum(cnt) OVER (
+               PARTITION BY source ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum
+             FROM hist),
+           q AS (SELECT c.source,
+             min(CASE WHEN c.cum >= (t.n_docs + 1) // 2
+               THEN c.n_chars END) AS p50_chars,
+             min(CASE WHEN c.cum >= (t.n_docs * 9 + 9) // 10
+               THEN c.n_chars END) AS p90_chars
+             FROM cum c JOIN tot t USING (source) GROUP BY 1)
+           SELECT t.source, t.n_docs, t.sum_chars, t.n_langs,
+             t.min_chars, t.max_chars, q.p50_chars, q.p90_chars
+           FROM tot t JOIN q USING (source)""",
       "ew_entities" ->
         s"""WITH docs AS (SELECT * FROM
               read_parquet('$EwDocsSmall/*.parquet')),

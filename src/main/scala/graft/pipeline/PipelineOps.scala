@@ -1478,4 +1478,92 @@ object PipelineOps {
         .when(!passQuality, "quality").when(!passRep, "repetition")
         .otherwise("none").as("fail_stage"))
   }
+
+  /** Consecutive word k-shingles joined by a single space; empty for docs
+    * shorter than k words (same descending-`sequence` guard as
+    * [[shingles2]]). */
+  private def shinglesK(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => get(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Duplicated-n-gram FRACTION per document — the corpus-level
+    * repetition signal (RedPajama-V2 / Gopher family: "fraction of a
+    * document's n-grams that also occur elsewhere in the corpus"), as
+    * opposed to [[textRepetition]]'s within-document signal and
+    * [[dedupNgramJaccard]]'s pairwise one. For each doc: the distinct
+    * 5-word shingle set, the count of those shingles whose corpus
+    * document-frequency ≥ 2, and their ratio. High dup_frac = boilerplate
+    * / template / mirrored text even when no single pair crosses a
+    * Jaccard threshold.
+    *
+    * Scale shape: distinct (doc, shingle) explode → one partial-agg pass
+    * for per-shingle document frequency → ONE equi-join back where every
+    * (doc, shingle) row matches exactly one df row (fan-out 1, no hot-key
+    * quadratic risk, so no [[MaxBucket]] cap is needed here) → per-doc
+    * partial agg. Division is one IEEE double op on two bigints —
+    * bit-identical across engines. */
+  def dupNgramFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    val sh = d.select($"doc_id",
+      explode(shinglesK(words($"text"), 5)).as("sh")).distinct()
+      .cache() // feeds BOTH the df agg and the join-back (one scan, not two)
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, Seq("sh"))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_5grams"),
+        count(when($"df" >= 2, true)).as("n_dup_5grams"))
+    d.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_5grams", lit(0L)).as("n_5grams"),
+        coalesce($"n_dup_5grams", lit(0L)).as("n_dup_5grams"))
+      .withColumn("dup_frac_r",
+        when($"n_5grams" > 0,
+          round($"n_dup_5grams".cast("double") / $"n_5grams", 6)))
+  }
+
+  /** Corpus STATISTICS report — per-source doc count, character volume,
+    * language spread, min/max and EXACT p50/p90 document length: the
+    * summary table every corpus build publishes next to the data.
+    *
+    * The exact quantiles use the value-histogram trick, not a per-source
+    * sort of the corpus: `n_chars` has bounded cardinality, so one
+    * map-side partial agg on (source, n_chars, lang) reduces 10^12 docs
+    * to a tiny cube, every report column re-aggregates the cube, and the
+    * rank window runs over the HISTOGRAM (≤ distinct lengths per source
+    * rows), never over documents — a giant skewed source costs the
+    * window nothing. Quantile semantics are
+    * percentile_disc: smallest value whose cumulative count reaches
+    * ⌈p·n⌉, with the rank thresholds computed in INTEGER arithmetic
+    * ((n+1) div 2, (9n+9) div 10) so both engines agree at every n. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    // ONE corpus scan: everything below re-aggregates this map-side-
+    // reduced cube (|sources| × |lengths| × |langs| rows — driver-tiny
+    // even at 10^12 docs)
+    val cube = d.groupBy($"source", $"n_chars", $"lang")
+      .agg(count(lit(1)).as("cnt")).cache()
+    val tot = cube.groupBy($"source").agg(
+      sum($"cnt").as("n_docs"),
+      sum($"n_chars" * $"cnt").as("sum_chars"),
+      countDistinct($"lang").as("n_langs"),
+      min($"n_chars").as("min_chars"),
+      max($"n_chars").as("max_chars"))
+    val hist = cube.groupBy($"source", $"n_chars").agg(sum($"cnt").as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"cnt").over(w))
+    val q = cum.join(tot.select($"source", $"n_docs"), Seq("source"))
+      .groupBy($"source").agg(
+        min(when($"cum" >= expr("(n_docs + 1) div 2"), $"n_chars"))
+          .as("p50_chars"),
+        min(when($"cum" >= expr("(n_docs * 9 + 9) div 10"), $"n_chars"))
+          .as("p90_chars"))
+    tot.join(q, Seq("source"))
+      .select($"source", $"n_docs", $"sum_chars", $"n_langs",
+        $"min_chars", $"max_chars", $"p50_chars", $"p90_chars")
+  }
 }

@@ -999,4 +999,68 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L)._6 === "quality" && !got(4L)._5)
     assert(got(5L)._6 === "repetition" && !got(5L)._5 && got(5L)._3)
   }
+
+  test("dup_ngram_frac: corpus-level duplicated 5-gram fraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dnf").toString
+    val span = "alpha beta gamma delta epsilon" // one shared 5-gram
+    val docs = Seq(
+      // docs 1 & 2 share exactly the 5-gram `span`; everything else in
+      // them is unique to each doc
+      (1L, s"$span u1 u2 u3 u4", "en", "web"),
+      (2L, s"v1 v2 v3 v4 $span", "en", "web"),
+      // doc 3: all 5-grams unique corpus-wide
+      (3L, "p q r s t u v", "en", "web"),
+      // doc 4: too short for any 5-gram
+      (4L, "one two three", "en", "web"),
+      // docs 5 & 6: identical text — every 5-gram duplicated
+      (5L, "m n o p q r", "en", "web"),
+      (6L, "m n o p q r", "en", "web"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.dupNgramFrac(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got.size === 6)
+    // doc 1: 5 distinct 5-grams ("alpha..epsilon" + 4 sliding into u's);
+    // only the first is shared (doc 2 has it too)
+    assert(got(1L)._1 === 5L && got(1L)._2 === 1L && got(1L)._3 === 0.2)
+    assert(got(2L)._1 === 5L && got(2L)._2 === 1L && got(2L)._3 === 0.2)
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    assert(got(4L)._1 === 0L && got(4L)._2 === 0L && got(4L)._3.isNaN)
+    assert(got(5L) === ((2L, 2L, 1.0)))
+    assert(got(6L) === ((2L, 2L, 1.0)))
+  }
+
+  test("corpus_stats: exact histogram p50/p90, per-source report") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cst").toString
+    // source a: lengths 10,20,20,30,100 (n=5 → p50 rank 3 = 20,
+    //   p90 rank ceil(4.5)=5 = 100); two langs
+    // source b: single doc (all quantiles = the one value)
+    // source c: even n with ties: 5,5,7,9 (n=4 → p50 rank 2 = 5,
+    //   p90 rank ceil(3.6)=4 = 9)
+    val docs = Seq(
+      (1L, "t", "en", "a", 10L), (2L, "t", "en", "a", 20L),
+      (3L, "t", "de", "a", 20L), (4L, "t", "en", "a", 30L),
+      (5L, "t", "en", "a", 100L),
+      (6L, "t", "fr", "b", 42L),
+      (7L, "t", "en", "c", 5L), (8L, "t", "en", "c", 5L),
+      (9L, "t", "en", "c", 7L), (10L, "t", "en", "c", 9L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.PipelineOps.corpusStats(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(got.size === 3)
+    assert(got("a") === ((5L, 180L, 2L, 10L, 100L, 20L, 100L)))
+    assert(got("b") === ((1L, 42L, 1L, 42L, 42L, 42L, 42L)))
+    assert(got("c") === ((4L, 26L, 1L, 5L, 9L, 5L, 9L)))
+  }
 }

@@ -43,6 +43,8 @@ object PlanDump {
     dump("corpus_shuffle", SparkEntry.queries("corpus_shuffle")(spark, sf))
     dump("embed_quantize", SparkEntry.queries("embed_quantize")(spark, sf))
     dump("pipeline_funnel", SparkEntry.queries("pipeline_funnel")(spark, sf))
+    dump("dup_ngram_frac", SparkEntry.queries("dup_ngram_frac")(spark, sf))
+    dump("corpus_stats", SparkEntry.queries("corpus_stats")(spark, sf))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/plans.txt"), sb.toString)
     println("[plandump] written target/plans.txt")
