@@ -216,7 +216,8 @@ object Bench {
       "dedup_simhash_pairs", "dedup_embedding", "decontam_ngram",
       "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf2_topk",
       "knn_join", "j4_cover_explode", "text_quality", "corpus_mix",
-      "text_repetition", "pack_sequences", "tfidf_topk", "vocab_topk")
+      "text_repetition", "pack_sequences", "tfidf_topk", "vocab_topk",
+      "knn_classify", "dsir_importance", "sem_dedup")
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     tableOps.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

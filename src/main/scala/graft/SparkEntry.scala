@@ -705,6 +705,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => PipelineOps.annLshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => PipelineOps.annIvfTopK(s, d)),
     "ann_ivf2_topk" -> ((s, d) => PipelineOps.annIvf2TopK(s, d)),
+    "knn_classify" -> ((s, d) => PipelineOps.knnClassify(s, d)),
+    "dsir_importance" -> ((s, d) => PipelineOps.dsirImportance(s, d)),
+    "sem_dedup" -> ((s, d) => PipelineOps.semDedup(s, d)),
     "text_lang_id" -> ((s, d) => PipelineOps.textLangId(s, d)),
     "text_quality" -> ((s, d) => PipelineOps.textQuality(s, d)),
     "text_token_count" -> ((s, d) => PipelineOps.textTokenCount(s, d)),
@@ -1606,8 +1609,95 @@ object SparkEntry {
       // the single-level IVF path, re-derived whole (see annIvfOracle
       // doc above): constants are the op's derived sf0.01 values.
       "ann_ivf_topk" -> annIvfOracle,
+      // SemDeDup: the IVF quantizer CTEs verbatim (16 clusters / 2048
+      // sample / 5 Lloyd rounds at sf0.01), then the greedy within-
+      // cluster drop rule ∃ u < v same cluster with dot(ne_u, ne_v) ≥ τ
+      "sem_dedup" ->
+        s"""WITH $ivfNormCtes,
+           cent0 AS MATERIALIZED (SELECT ord - 1 AS c, ne AS cent
+           FROM samp WHERE ord <= 16),
+           ${ivfIterCtes("cent", "asg")},
+           fasg AS MATERIALIZED (SELECT vec_id, ne, c FROM (
+             SELECT n.vec_id, n.ne, c.c,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY ${ivfDistSql("n.ne", "c.cent")}, c.c) AS rnk
+             FROM norm n, cent5 c) WHERE rnk = 1),
+           csz AS (SELECT c, count(*) AS cn FROM fasg GROUP BY c),
+           dup AS (SELECT DISTINCT b.vec_id
+             FROM fasg a JOIN fasg b
+               ON a.c = b.c AND a.vec_id < b.vec_id
+             JOIN csz s ON s.c = a.c AND s.cn <= 4096
+             WHERE list_sum(list_transform(generate_series(1, 64),
+               i -> a.ne[i] * b.ne[i])) >= 0.40)
+           SELECT f.vec_id, CAST(f.c AS INT) AS cluster,
+             (s.cn > 4096) AS capped,
+             (s.cn > 4096 OR d.vec_id IS NULL) AS kept
+           FROM fasg f JOIN csz s ON s.c = f.c
+           LEFT JOIN dup d ON d.vec_id = f.vec_id""",
       // the two-level IVF path, same machinery applied coarse then fine
       "ann_ivf2_topk" -> annIvf2Oracle,
+      // kNN label vote: the ann_cosine_topk CTE + a plurality vote with
+      // the (n_votes DESC, label ASC) deterministic tie order
+      "knn_classify" ->
+        """WITH dot AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             list_sum(list_transform(generate_series(1, len(q.embedding)),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(
+                generate_series(1, len(q.embedding)),
+                i -> CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(q.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE)
+                     * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+             FROM embeddings e
+             JOIN embeddings q ON q.vec_id % 50 = 0
+               AND e.vec_id <> q.vec_id),
+           topk AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rank FROM dot)
+             WHERE rank <= 5),
+           votes AS (SELECT t.query_id, e.label,
+             count(*) AS n_votes
+             FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+             GROUP BY 1, 2),
+           pred AS (SELECT query_id, label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, label) AS r FROM votes)
+           SELECT p.query_id, p.label AS pred_label, p.n_votes,
+             q.label AS true_label, (p.label = q.label) AS correct
+           FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+           WHERE p.r = 1""",
+      // DSIR importance: hashed-unigram bucket = first md5 byte mod 64
+      // (two-nibble hex parse mirrors Spark's conv(substring(md5,1,2)));
+      // the per-bucket ppm ratio repeats the op's exact double chain
+      // ((ct+1)*(totC+64)) / ((cc+1)*(totT+64)) * 1e6 → round; per-doc
+      // score is an exact BIGINT sum, so no float-order hazard exists
+      "dsir_importance" ->
+        """WITH w AS (SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS w FROM documents),
+           hb AS (SELECT doc_id, lang,
+             CAST(((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+               * 16 +
+               (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1))
+               % 64 AS INT) AS b FROM w),
+           stats AS (SELECT b, count(*) AS cnt_c,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+             FROM hb GROUP BY b),
+           tot AS (SELECT sum(cnt_c) AS total_c, sum(cnt_t) AS total_t
+             FROM stats),
+           m AS (SELECT b, CAST(round(
+             (CAST(cnt_t + 1 AS DOUBLE) * CAST(total_c + 64 AS DOUBLE)) /
+             (CAST(cnt_c + 1 AS DOUBLE) * CAST(total_t + 64 AS DOUBLE))
+             * 1000000.0, 0) AS BIGINT) AS m FROM stats, tot),
+           score AS (SELECT hb.doc_id, count(*) AS n_words,
+             CAST(sum(m.m) AS BIGINT) AS score_ppm
+             FROM hb JOIN m ON m.b = hb.b GROUP BY hb.doc_id)
+           SELECT d.doc_id, d.lang, CAST(s.n_words AS INT) AS n_words,
+             s.score_ppm,
+             (s.score_ppm >= s.n_words * 1000000) AS selected
+           FROM documents d JOIN score s ON s.doc_id = d.doc_id""",
       "text_lang_id" ->
         """SELECT doc_id, lang,
              len(list_filter(string_split(text,' '), w -> w IN

@@ -960,6 +960,182 @@ object PipelineOps {
         round($"cos", 6).as("cos_r"))
   }
 
+  /** k-NN label classification over the embedding corpus — the
+    * embedding-space quality/domain classifier stage of a data-selection
+    * pipeline: label a slice of the crawl by majority vote of its k
+    * nearest labeled neighbors, then keep/route documents by predicted
+    * class (the "train a small classifier on curated seeds, apply to the
+    * whole crawl" shape, done here as pure kNN so there is no model
+    * artifact to ship). Queries = every 50th vector, self excluded; the
+    * vote is a plurality over the exact cosine top-k with ties broken
+    * toward the SMALLEST label id, so the prediction is deterministic at
+    * any parallelism.
+    *
+    * Scale shape: the per-query top-k comes from [[annCosineTopK]] — a
+    * broadcast of the (small) query set and ONE scan of the corpus; for
+    * the 100 TB path swap in [[annLshTopK]] / [[annIvfTopK]] candidates
+    * (identical output schema), the vote stage is unchanged. The vote
+    * itself is a partial agg over k rows per query and the label lookup
+    * is a broadcast-size join on the k·|Q| candidate rows — nothing
+    * downstream of the top-k ever touches the corpus again. */
+  def knnClassify(spark: SparkSession, sfDir: String,
+                  k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val topk = annCosineTopK(spark, sfDir, k)
+    val votes = topk
+      .join(e.select($"vec_id".as("neighbor_id"), $"label"),
+        Seq("neighbor_id"))
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"n_votes".desc, $"label")
+    votes.withColumn("r", row_number().over(w)).where($"r" === 1)
+      .join(e.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        Seq("query_id"))
+      .select($"query_id", $"label".as("pred_label"), $"n_votes",
+        $"true_label", ($"label" === $"true_label").as("correct"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding corpus, then WITHIN each cluster drop every vector that
+    * has a higher-cosine-than-τ neighbor with a smaller id — semantic
+    * (not lexical) dedup whose pair join is confined to one cluster at a
+    * time instead of the whole corpus. τ defaults to 0.40 here because
+    * the synthetic corpus is well-spread (its near-dup pairs sit at
+    * cos ≈ 0.4–0.51, the same regime [[dedupEmbedding]] targets); real
+    * web corpora run τ ≈ 0.95+.
+    *
+    * The quantizer is the [[annIvfTopKDf]] build verbatim — the same
+    * md5-ordered deterministic sample, the same driver [[kmeansTrain]],
+    * the same (distance, cluster) argmin tie order — so the whole
+    * cluster assignment re-derives bit-identically in the DuckDB oracle
+    * with the CTEs the IVF ops already use. Drop rule `∃ u < v same
+    * cluster, cos(u,v) ≥ τ` is the published greedy keep-one (no
+    * transitive closure: u itself may also be dropped by a still-smaller
+    * id — that is SemDeDup's semantics, unlike [[dedupEmbeddingClusters]]
+    * which closes over components).
+    *
+    * Scale shape: assignment = one broadcast nearest-centroid pass
+    * (cached — it IS the index); the pair join is per-cluster with list
+    * sizes ≈ [[AnnTargetList]] by construction of the derived cluster
+    * count, and clusters over `maxCluster` are FENCED (kept whole,
+    * flagged `capped` — a pile that size is exact-dup territory that
+    * [[dedupExact]]/[[dedupEmbedding]] own; joining it would go
+    * quadratic inside one key). At 100 TB: corpus scans = 1 (assignment)
+    * + 1 (pair join probe side re-read from cache), shuffles keyed on
+    * cluster id with bounded per-key cardinality. */
+  def semDedup(spark: SparkSession, sfDir: String, tau: Double = 0.40,
+               nClusters: Int = 0, iters: Int = 5, sampleSize: Int = 0,
+               maxCluster: Int = AnnMaxList): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, sfDir)
+    val e0 = withNormalized(emb)
+    val wantClusters =
+      if (nClusters > 0) nClusters else annClustersFor(emb.count())
+    val wantSample =
+      if (sampleSize > 0) sampleSize
+      else math.min(65536, math.max(2048, 32 * wantClusters))
+    val sample: Array[Array[Double]] = e0
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+      .limit(wantSample)
+      .select($"ne")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "semDedup: embedding table is empty — nothing to dedup")
+    val kC = math.max(1, math.min(wantClusters, sample.length))
+    val centroids = kmeansTrain(sample, kC, iters)
+    val cents = spark.createDataset(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("c", "cent")
+    val asg = e0.crossJoin(broadcast(cents))
+      .withColumn("d", l2Sq($"cent", $"ne"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"c", $"ne"), struct($"d", $"c")).as("b"))
+      .select($"vec_id", $"b.c".as("c"), $"b.ne".as("ne"))
+      .cache()
+    val csz = asg.groupBy($"c").agg(count(lit(1)).as("cn"))
+    // dot of pre-normalized vectors, accumulated in index order (the
+    // oracle's list_sum(list_transform) is the same left fold)
+    def dotNe(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val okc = csz.where($"cn" <= maxCluster).select($"c".as("okc"))
+    val dups = asg.as("a")
+      .join(asg.as("b"),
+        $"a.c" === $"b.c" && $"a.vec_id" < $"b.vec_id")
+      .join(broadcast(okc), $"a.c" === $"okc")
+      .where(dotNe($"a.ne", $"b.ne") >= tau)
+      .select($"b.vec_id".as("vec_id")).distinct()
+    asg.join(broadcast(csz), Seq("c"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"c".as("cluster"),
+        ($"cn" > maxCluster).as("capped"),
+        ($"cn" > maxCluster || $"dup".isNull).as("kept"))
+  }
+
+  /** DSIR-style data-selection importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-unigram bag is
+    * under the TARGET distribution (here: the `lang = 'en'` slice) than
+    * under the whole-corpus distribution, then flag the docs that score
+    * above par for selection. Published DSIR uses log-ratios; this op
+    * keeps the per-bucket RATIO (Laplace-smoothed, quantized to integer
+    * parts-per-million) so the per-doc score is an exact INTEGER sum —
+    * order-free, hence bit-identical at any parallelism and across
+    * engines (the same trick [[tfidfTopK]] uses to stay transcendental-
+    * free). `selected` = score ≥ n_words × 10⁶, i.e. the doc's average
+    * bucket ratio beats the corpus average — a pure integer compare.
+    *
+    * Scale shape: the distribution estimate is ONE pass — explode words
+    * to (bucket, is_target) and partial-agg to exactly 64 rows (the map
+    * side collapses each partition to ≤ 64 rows before the shuffle);
+    * those 64 rows are driver-collected (bounded by construction) and
+    * inlined as a 64-element literal array, so the APPLY pass is fully
+    * map-side: one corpus scan, `aggregate` over the in-row word array,
+    * zero shuffle, zero join. At 100 TB the stats pass shuffles 64 rows
+    * per partition and the apply pass shuffles nothing. */
+  def dsirImportance(spark: SparkSession, sfDir: String,
+                     targetLang: String = "en",
+                     nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+    // bucket = first md5 byte mod nBuckets (cross-engine: DuckDB mirrors
+    // the two-nibble hex parse; md5 of the UTF-8 bytes on both sides)
+    def bucketOf(w: Column): Column =
+      (conv(substring(md5(w), 1, 2), 16, 10).cast("long") %
+        nBuckets).cast("int")
+    val stats = d
+      .select($"lang", explode(words($"text")).as("w"))
+      .select(bucketOf($"w").as("b"),
+        when($"lang" === targetLang, 1L).otherwise(0L).as("t"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("cnt_c"), sum($"t").as("cnt_t"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val totalC = stats.valuesIterator.map(_._1).sum
+    val totalT = stats.valuesIterator.map(_._2).sum
+    // per-bucket Laplace-smoothed target/corpus ratio in integer ppm;
+    // expression shape mirrored exactly in the DuckDB oracle so the one
+    // double rounding chain is identical
+    val m: Array[Long] = Array.tabulate(nBuckets) { b =>
+      val (cc, ct) = stats.getOrElse(b, (0L, 0L))
+      val ratio = ((ct + 1L).toDouble * (totalC + nBuckets).toDouble) /
+        ((cc + 1L).toDouble * (totalT + nBuckets).toDouble)
+      // Math.round = floor(x + 0.5): HALF_UP, which for positive ratios
+      // equals DuckDB round()'s half-away-from-zero
+      math.round(ratio * 1000000.0)
+    }
+    val mLit = array(m.map(lit(_)): _*)
+    val ws = words($"text")
+    d.select($"doc_id", $"lang", size(ws).as("n_words"),
+        aggregate(ws, lit(0L),
+          (acc, w) => acc + element_at(mLit, bucketOf(w) + 1))
+          .as("score_ppm"))
+      .withColumn("selected", $"score_ppm" >= $"n_words" * 1000000L)
+  }
+
   // ------------------------------------------------------ text analysis
 
   val domainLists: Seq[(String, Seq[String])] = Seq(

@@ -129,6 +129,99 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("knnClassify: plurality vote over exact top-k, deterministic ties") {
+    val sf = "/root/testdata/sf0.001"
+    val ops = graft.pipeline.PipelineOps
+    val topk = ops.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val labels = ops.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // driver-side re-vote: plurality, ties toward the smallest label
+    val want = topk.groupBy(_._1).map { case (q, ns) =>
+      val byLabel = ns.groupBy(n => labels(n._2))
+        .map { case (l, g) => (l, g.length) }
+      val (pl, nv) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      (q, (pl, nv, labels(q), pl == labels(q)))
+    }
+    val got = ops.knnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2).toInt, r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == want.keySet)      // exactly one row per query
+    want.foreach { case (q, w) => assert(got(q) == w, s"query $q") }
+  }
+
+  test("semDedup: greedy within-cluster drop rule, cap fence") {
+    val sf = "/root/testdata/sf0.001"
+    val ops = graft.pipeline.PipelineOps
+    val tau = 0.40
+    val ne = ops.embeddings(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.getLong(0), v.map(_ / n))
+    }.toMap
+    def cos(a: Long, b: Long): Double =
+      ne(a).zip(ne(b)).map { case (x, y) => x * y }.sum
+    val got = ops.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    assert(got.keySet == ne.keySet)            // one verdict per vector
+    assert(!got.values.exists(_._2))           // no cluster capped here
+    // drop rule re-derived against the op's own cluster assignment
+    got.foreach { case (v, (cl, _, kept)) =>
+      val hasSmaller = got.exists { case (u, (cu, _, _)) =>
+        cu == cl && u < v && cos(u, v) >= tau }
+      assert(kept == !hasSmaller, s"vec $v")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    // cap fence: maxCluster = 1 caps every multi-member cluster → all
+    // vectors in them kept and flagged
+    val capped = ops.semDedup(spark, sf, maxCluster = 1).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    val sizes = capped.values.groupBy(_._1).map { case (c, g) =>
+      (c, g.size) }
+    capped.foreach { case (v, (cl, cap, kept)) =>
+      assert(cap == (sizes(cl) > 1) && (!cap || kept), s"vec $v")
+    }
+  }
+
+  test("dsirImportance: exact integer ppm score, driver re-derivation") {
+    val sf = "/root/testdata/sf0.001"
+    val ops = graft.pipeline.PipelineOps
+    val docs = ops.documents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      (h(0) & 0xff) % 64
+    }
+    val occ = docs.flatMap { case (_, text, lang) =>
+      text.split(" ", -1).map(w => (bucket(w), lang == "en")) }
+    val cc = occ.groupBy(_._1).map { case (b, g) => (b, g.length.toLong) }
+    val ct = occ.filter(_._2).groupBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong) }
+    val (totC, totT) = (occ.length.toLong, occ.count(_._2).toLong)
+    val m = Array.tabulate(64) { b =>
+      val r = ((ct.getOrElse(b, 0L) + 1L).toDouble * (totC + 64).toDouble) /
+        ((cc.getOrElse(b, 0L) + 1L).toDouble * (totT + 64).toDouble)
+      math.round(r * 1000000.0)
+    }
+    val want = docs.map { case (id, text, lang) =>
+      val ws = text.split(" ", -1)
+      val s = ws.map(w => m(bucket(w))).sum
+      (id, (lang, ws.length, s, s >= ws.length * 1000000L))
+    }.toMap
+    val got = ops.dsirImportance(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+    // the selection must be non-trivial on the fixture (both classes)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("sparse-data kNN completes in O(log n) driver rounds") {
     import spark.implicits._
     // 3 data points in far-apart cells at z=6 (n=64): linear ring growth

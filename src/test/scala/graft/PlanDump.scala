@@ -45,6 +45,10 @@ object PlanDump {
     dump("pipeline_funnel", SparkEntry.queries("pipeline_funnel")(spark, sf))
     dump("dup_ngram_frac", SparkEntry.queries("dup_ngram_frac")(spark, sf))
     dump("corpus_stats", SparkEntry.queries("corpus_stats")(spark, sf))
+    dump("knn_classify", SparkEntry.queries("knn_classify")(spark, sf))
+    dump("dsir_importance",
+      SparkEntry.queries("dsir_importance")(spark, sf))
+    dump("sem_dedup", SparkEntry.queries("sem_dedup")(spark, sf))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/plans.txt"), sb.toString)
     println("[plandump] written target/plans.txt")
