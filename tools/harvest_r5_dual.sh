@@ -71,11 +71,14 @@ while true; do
     echo "=== burst $n mx16-L8 ($(date +%H:%M:%S)) ==="
     mx_lvl 8 scaling_m16 16 "$REPS_MX"
   fi
-  if [ "$n" -eq 1 ]; then
-    echo "=== burst $n mx16-L1 ($(date +%H:%M:%S)) ==="
-    sleep 120; mx_lvl 1 scaling_m16 16 "$REPS_N"
-  fi
+  # narrow top-ups rotate L2/L4/L1 so every narrow level keeps sampling
+  # later (possibly better) epochs — a single early narrow window would
+  # otherwise pin an epoch-inflated (quotient-flattering) minimum
   case $(( n % 6 )) in
+    0) if [ "$n" -gt 0 ]; then
+         echo "=== burst $n mx16-L1 ($(date +%H:%M:%S)) ==="
+         sleep 120; mx_lvl 1 scaling_m16 16 "$REPS_N"
+       fi ;;
     2) echo "=== burst $n mx16-L2 ($(date +%H:%M:%S)) ==="
        sleep 120; mx_lvl 2 scaling_m16 16 "$REPS_N" ;;
     4) echo "=== burst $n mx16-L4 ($(date +%H:%M:%S)) ==="
