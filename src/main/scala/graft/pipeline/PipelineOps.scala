@@ -14,11 +14,45 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** Spread a small input across the cluster (r6, guide §2.5 "input
+    * skew" / §6): the test corpora are single sub-MB parquet files, so
+    * every scan plans ONE task and all map-side per-row compute (md5
+    * shingles, simhash bits, LSH plane dots, in-row RLE) runs serial in
+    * the scan stage. When the scan's split count is already ≥ the
+    * cluster's parallelism (any real at-scale input) this is the
+    * identity — no 100 TB corpus is ever blind-shuffled; only a
+    * sub-parallelism input pays one tiny exchange to unlock every core.
+    * Round-robin is deterministic under retries (sortBeforeRepartition)
+    * and every op here is order-insensitive in its RESULTS. */
+  private def spread(spark: SparkSession, d: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions >= want) d else d.repartition(want)
+  }
+
+  /** Partition width for CPU-heavy candidate-pair exchanges (r6): AQE's
+    * byte-based coalescing sees a few MB of shuffled ids and folds the
+    * pair-generation/verify join stages to a handful of tasks — the same
+    * defect pv10 fixed for the pyramid merge, but these ops run inside
+    * the gate session where coalescing is on. An EXPLICIT width on the
+    * user exchange is respected (AQE only coalesces its own), and the
+    * value derives from the cluster (4 task waves per core, matching the
+    * session's own shuffle.partitions choice), not a local constant. */
+  private def candParts(spark: SparkSession): Int =
+    4 * spark.sparkContext.defaultParallelism
+
+  /** Corpus table for ops whose per-row map work dominates (hashing /
+    * shingling / signature builds): sub-parallelism inputs are spread.
+    * Cheap single-pass ops read [[documentsRaw]] instead — for them the
+    * spreading exchange costs more than the serial scan saves
+    * (measured: pack_sequences 0.57 → 1.38 s with a blanket spread). */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spread(spark, documentsRaw(spark, sfDir))
+
+  def documentsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spread(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -39,19 +73,30 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
   }
 
-  /** MinHash signatures, one row per doc: 4 band mins in ONE scan of the
-    * distinct-shingle table (map-side partial agg; no pivot, no band
-    * explode). */
+  /** MinHash signatures, one row per doc: 4 band mins computed INSIDE
+    * the row (r6, guide §2.4 "remove shuffles outright"): the previous
+    * shape exploded to a distinct (doc, shingle) table (one full
+    * shuffle of every shingle string) and re-aggregated by doc (a second
+    * shuffle); but min(md5(band:shingle)) is duplicate-insensitive, so
+    * the distinct was pure cost, and a doc's shingles all live in its
+    * own row — `array_min(transform(...))` yields the identical four
+    * mins with ZERO exchanges (the op is now one map-side scan).
+    * Docs with < 2 words have no shingles and emit no row, exactly as
+    * the explode dropped them. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, sfDir)
-    val sh = d.select($"doc_id",
-      explode(shingles2(words($"text"))).as("sh")).distinct()
-    sh.groupBy($"doc_id").agg(
-      min(md5(concat(lit("0:"), $"sh"))).as("sig0"),
-      min(md5(concat(lit("1:"), $"sh"))).as("sig1"),
-      min(md5(concat(lit("2:"), $"sh"))).as("sig2"),
-      min(md5(concat(lit("3:"), $"sh"))).as("sig3"))
+    d.where(size(words($"text")) >= 2)
+      .select($"doc_id", shingles2(words($"text")).as("shs"))
+      .select($"doc_id",
+        array_min(transform($"shs",
+          s => md5(concat(lit("0:"), s)))).as("sig0"),
+        array_min(transform($"shs",
+          s => md5(concat(lit("1:"), s)))).as("sig1"),
+        array_min(transform($"shs",
+          s => md5(concat(lit("2:"), s)))).as("sig2"),
+        array_min(transform($"shs",
+          s => md5(concat(lit("3:"), s)))).as("sig3"))
   }
 
   /** Hot-bucket cap for pair generation (VERDICT r1 #8): an LSH band
@@ -69,14 +114,25 @@ object PipelineOps {
     * buckets larger than [[MaxBucket]] are dropped (documented cap). */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // cache: the signature build is consumed three times below (bucket
+    // histogram + both self-join sides). The r5 shape got that reuse for
+    // free from ReuseExchange (its last op was a groupBy exchange); the
+    // r6 in-row [[dedupMinhash]] has NO exchange to reuse, so without
+    // the cache every consumer would re-run the md5 scan (measured: the
+    // op tripled). One row per (doc, band) — 4n narrow rows.
     val sigs = dedupMinhash(spark, sfDir)
       .select($"doc_id", posexplode(array($"sig0", $"sig1", $"sig2",
         $"sig3")).as(Seq("band", "sig")))
+      .cache()
     val keep = sigs.groupBy($"band", $"sig")
       .agg(count(lit(1)).as("bc"))
       .where($"bc" <= MaxBucket)
       .select($"band", $"sig")
+    // explicit width on the self-join exchange: the pair-explosion
+    // stage is CPU-heavy on tiny shuffle bytes — AQE would coalesce it
+    // to single-digit tasks (see candParts)
     val f = sigs.join(keep, Seq("band", "sig"))
+      .repartition(candParts(spark), $"band", $"sig")
     val a = f.select($"doc_id".as("doc_a"), $"band", $"sig")
     val b = f.select($"doc_id".as("doc_b"), $"band", $"sig")
     a.join(b, Seq("band", "sig"))
@@ -91,13 +147,17 @@ object PipelineOps {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, sfDir)
+    // r6: the 4 hex chars are parsed ONCE per word into a 16-bit int
+    // (was: one substring+conv per BIT, 16× the parse work); each bit
+    // then falls out of one shift+mask. Bit values are unchanged:
+    // ((v >> 4(3-c)) & 15) >> (3-b%4) & 1 ≡ (v >> (4(3-c)+3-b%4)) & 1.
     val w = d.select($"doc_id", explode(array_distinct(words($"text")))
       .as("w"))
-      .withColumn("h4", substring(md5($"w"), 1, 4))
+      .withColumn("hv", conv(substring(md5($"w"), 1, 4), 16, 10)
+        .cast("int"))
     val bitCols = (0 until 16).map { b =>
-      val hexChar = substring($"h4", b / 4 + 1, 1)
-      val nib = conv(hexChar, 16, 10).cast("int")
-      val bit = shiftright(nib, 3 - b % 4).bitwiseAND(lit(1))
+      val bit = shiftright($"hv", 4 * (3 - b / 4) + 3 - b % 4)
+        .bitwiseAND(lit(1))
       sum(bit * 2 - 1).as(s"s$b")
     }
     val agg = w.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
@@ -123,13 +183,21 @@ object PipelineOps {
   def dedupSimhashBlocks(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, sfDir)
+    // r6: one conv per 16-bit block (4 total) instead of one
+    // substring+conv per BIT (64) — same shift/mask identity as
+    // [[dedupSimhash]], identical bit values, 16× less hex parsing per
+    // word in the hot aggregation input.
     val w = d.select($"doc_id", explode(array_distinct(words($"text")))
       .as("w"))
       .withColumn("h16", substring(md5($"w"), 1, 16))
+      .withColumn("hv0", conv(substring($"h16", 1, 4), 16, 10).cast("int"))
+      .withColumn("hv1", conv(substring($"h16", 5, 4), 16, 10).cast("int"))
+      .withColumn("hv2", conv(substring($"h16", 9, 4), 16, 10).cast("int"))
+      .withColumn("hv3", conv(substring($"h16", 13, 4), 16, 10).cast("int"))
     val bitCols = (0 until 64).map { b =>
-      val hexChar = substring($"h16", b / 4 + 1, 1)
-      val nib = conv(hexChar, 16, 10).cast("int")
-      val bit = shiftright(nib, 3 - b % 4).bitwiseAND(lit(1))
+      val j = b / 4 - 4 * (b / 16) // char index within the 4-char block
+      val bit = shiftright(col(s"hv${b / 16}"), 4 * (3 - j) + 3 - b % 4)
+        .bitwiseAND(lit(1))
       sum(bit * 2 - 1).as(s"s$b")
     }
     val agg = w.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
@@ -163,6 +231,7 @@ object PipelineOps {
       .where($"bc" <= MaxBucket)
       .select($"blk", $"v")
     val f = posts.join(keep, Seq("blk", "v"))
+      .repartition(candParts(spark), $"blk", $"v") // see candParts
     val cand = f.as("a").join(f.as("b"), Seq("blk", "v"))
       .where($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -308,10 +377,52 @@ object PipelineOps {
   def dedupClusters(spark: SparkSession, sfDir: String,
                     maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    val comp = minLabelComponents(spark,
-      dedupMinhashPairs(spark, sfDir).select($"doc_a", $"doc_b"), maxIters)
+    // r6 (guide §1.2 "the distributed algorithm" — the order-of-magnitude
+    // lever): MinHash pairs carry NO similarity filter — (a, b) is an
+    // edge iff a and b share a kept (band, sig) bucket — so connected
+    // components over the pair graph are EXACTLY the components of the
+    // doc↔bucket BIPARTITE graph (a–bucket–b is the pair's witness
+    // path). The bipartite edge list is one row per kept posting
+    // (O(n·bands)) instead of one per same-bucket pair (O(Σ bucket²), the
+    // 70-task-sec self-join this op used to run before its loop): the
+    // pair materialization drops out of the op entirely and every
+    // propagation round shuffles posting-count rows, not pair-count.
+    // Equivalence of the OUTPUT is row-for-row: every doc with a kept
+    // posting gets the component min over docs (bucket vertices start at
+    // their local doc-min and never win a min against a real doc id);
+    // singleton-bucket docs resolve to themselves with cluster_n = 1,
+    // identical to the unpaired fallback below. Oracle-checked unchanged.
+    val sigs = dedupMinhash(spark, sfDir)
+      .select($"doc_id", posexplode(array($"sig0", $"sig1", $"sig2",
+        $"sig3")).as(Seq("band", "sig")))
+      .cache()
+    val keepB = sigs.groupBy($"band", $"sig")
+      .agg(count(lit(1)).as("bc"))
+      .where($"bc" <= MaxBucket)
+      .select($"band", $"sig")
+    val posts = sigs.join(keepB, Seq("band", "sig"))
+    def dKey(id: Column) = struct(lit(0).as("kind"),
+      id.as("num"), lit("").as("s"))
+    def bKey(band: Column, sig: Column) = struct(lit(1).as("kind"),
+      band.cast("long").as("num"), sig.as("s"))
+    val edges = posts.select(dKey($"doc_id").as("src"),
+        bKey($"band", $"sig").as("dst"))
+      .union(posts.select(bKey($"band", $"sig").as("src"),
+        dKey($"doc_id").as("dst")))
+    // bucket vertices seed at their bucket's doc-min — the first
+    // doc→bucket half-hop folded into initialization, so the bipartite
+    // loop needs no more rounds than the pair loop did
+    val init = posts.select(dKey($"doc_id").as("key"),
+        $"doc_id".as("label")).distinct()
+      .union(posts.groupBy($"band", $"sig")
+        .agg(min($"doc_id").as("label"))
+        .select(bKey($"band", $"sig").as("key"), $"label"))
+    val comp = minLabelLoopKeyed(spark, edges, init, maxIters)
+      .where($"key.kind" === 0)
+      .select($"key.num".as("doc_id"), $"label".as("keep_id"))
+    val sizes = comp.groupBy($"keep_id").agg(count(lit(1)).as("cluster_n"))
     documents(spark, sfDir).select($"doc_id")
-      .join(comp, Seq("doc_id"), "left")
+      .join(comp.join(sizes, Seq("keep_id")), Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"keep_id", $"doc_id").as("keep_id"),
         coalesce($"cluster_n", lit(1L)).as("cluster_n"))
@@ -379,6 +490,45 @@ object PipelineOps {
     * tagged union row), so the per-round convergence check is a
     * filter-isEmpty over the already-checkpointed partitions — no second
     * full-plan action, no extra aggregation exchange. */
+  /** Min-label propagation over an EXPLICIT edge list of struct vertex
+    * keys with caller-supplied initial labels (r6) — the loop body of
+    * [[minLabelComponents]] generalized so [[dedupClusters]] can run it
+    * on the doc↔bucket bipartite graph (vertices of two kinds) instead
+    * of materialized pairs. Same per-round shape: pre-partitioned cached
+    * edges, one checkpointed action per round, the own/prev tagged-union
+    * convergence flag. Returns (key, label) at the fixpoint; fails
+    * loudly past `maxIters` like the pair loop. */
+  private def minLabelLoopKeyed(spark: SparkSession, edges0: DataFrame,
+                                init: DataFrame,
+                                maxIters: Int): DataFrame = {
+    import spark.implicits._
+    val edges = edges0.toDF("src", "dst")
+      .repartition(spark.sparkContext.defaultParallelism, $"src").cache()
+    var labels = init.toDF("key", "label").localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("key"))
+        .select(edges("dst").as("key"), labels("label"))
+      val next = labels.select($"key", $"label", lit(true).as("own"))
+        .union(msgs.select($"key", $"label", lit(false).as("own")))
+        .groupBy($"key")
+        .agg(min($"label").as("label"),
+          min(when($"own", $"label")).as("prev"))
+        .withColumn("chg", $"label" < $"prev")
+        .localCheckpoint()
+      converged = next.where($"chg").isEmpty
+      labels = next.select($"key", $"label")
+      it += 1
+    }
+    require(converged,
+      s"minLabelLoopKeyed: not converged after $maxIters rounds — " +
+        "component diameter exceeds the cap; use the " +
+        "large-star/small-star variant")
+    edges.unpersist()
+    labels
+  }
+
   private def minLabelComponents(spark: SparkSession, pairs: DataFrame,
                                  maxIters: Int): DataFrame = {
     import spark.implicits._
@@ -465,73 +615,169 @@ object PipelineOps {
     val planes =
       if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
     // sign-of-dot bucket bits; dot accumulates in INDEX ORDER (aggregate
-    // over zip_with), mirrored by the oracle's list_sum(list_transform)
+    // over zip_with), mirrored by the oracle's list_sum(list_transform).
+    // Deliberately NOT unrolled (r6): nTables × planes × dim literal
+    // terms is a several-thousand-node projection whose one-time Janino
+    // compile costs more than the interpreted fold saves at bench scale
+    // (measured: +12 s cold on annLshTopK) — the per-element lambda here
+    // binds only lambda variables, so it avoids the outer-ref re-eval
+    // trap and stays O(planes·dim) per row.
     def bucket(t: Int, e: Column): Column =
       (0 until planes).map { p =>
         val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
         when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
           lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
-    val tb = e0.select($"vec_id", $"embedding",
-      posexplode(array((0 until nTables).map(t =>
-        bucket(t, $"embedding")): _*)).as(Seq("table", "bkt")))
+    // r6 cache/shuffle restructure (guide §2.3 "shuffle keys, not
+    // payloads" and §8): the fingerprint frame is cached ONE row per
+    // vector (bucket ids as columns + the hoisted norm) instead of the
+    // previous nTables×-exploded copy that carried the embedding array
+    // in every posting row; candidate generation (explode → fence →
+    // self-join → dropDuplicates) moves ONLY (vec_id, table, bkt) — the
+    // 64-dim payloads are re-attached by two joins against the cached
+    // frame AFTER the pair set is deduped, so each surviving pair moves
+    // its two embeddings exactly once into the exact-cosine verify.
+    val eb = e0.select(($"vec_id" +: $"embedding" +:
+      sqrt(dotU($"embedding", $"embedding", dim)).as("nr") +:
+      (0 until nTables).map(t => bucket(t, $"embedding").as(s"bkt$t"))): _*)
       .cache()
+    val tb = eb.select($"vec_id",
+      posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
+        .as(Seq("table", "bkt")))
     val keep = tb.groupBy($"table", $"bkt")
       .agg(count(lit(1)).as("bc"))
       .where($"bc" <= maxBucket)
       .select($"table", $"bkt")
     val kept = tb.join(keep, Seq("table", "bkt"))
+      .repartition(candParts(spark), $"table", $"bkt") // see candParts
     val cand = kept.as("a").join(kept.as("b"), Seq("table", "bkt"))
       .where($"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .repartition(candParts(spark), $"vec_a", $"vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    // exact-cosine verify with hoisted norms: dot/(na·nb) is the same
+    // IEEE quotient as dotCos (identical sub-expressions, evaluated per
+    // VECTOR in the cached frame instead of per PAIR)
     cand
-      .withColumn("cos", dotCos($"ea", $"eb"))
+      .join(eb.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        $"nr".as("na")), Seq("vec_a"))
+      .join(eb.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        $"nr".as("nb")), Seq("vec_b"))
+      .withColumn("cos", dotU($"ea", $"eb", dim) / ($"na" * $"nb"))
       .where($"cos" >= threshold)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_r"))
   }
 
   // --------------------------------------------------------------- ANN
 
-  /** Squared L2 distance between two double-array columns (codegen'd
-    * higher-order functions, no UDF). */
+  /** Embedding dimensionality of the corpus tables (fixed by TESTDATA.md;
+    * the DuckDB oracles hardcode the same 64). The r6 unrolled vector
+    * kernels below are generated at this width. */
+  private[pipeline] val EmbDim = 64
+
+  /** Dot product of two float/double array columns, UNROLLED to `dim`
+    * whole-stage-codegen terms (r6 optimization, guide §1.2 "per-task
+    * work" / §4 "prefer built-ins with codegen"): the previous
+    * `aggregate(zip_with(...))` shape is a HigherOrderFunction — Spark
+    * evaluates the lambda INTERPRETED, one boxed Expression.eval per
+    * element, and allocates the zipped intermediate array per call. The
+    * unrolled chain is the bit-identical left fold
+    * ((…((0.0 + a₀·b₀) + a₁·b₁)…) with the same per-element double casts
+    * in the same index order, so every cosine/score downstream is the
+    * same IEEE double — but it compiles into the stage's generated Java
+    * (with codegen subexpression elimination across the projection).
+    * Measured on `ann_cosine_topk` (12.5M pair dots at sf0.1): the
+    * kernel swap is the difference between an interpreted ~3·64-eval
+    * loop and a flat multiply-add chain. */
+  private def dotU(a: Column, b: Column, dim: Int = EmbDim): Column = {
+    val unrolled = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + get(a, lit(i)).cast("double") * get(b, lit(i)).cast("double")
+    }
+    // inputs of any OTHER width (tests exercise dim 8; a future corpus
+    // could ship another) take the interpreted spec fold — same IEEE
+    // left fold, so the branch is a fast path, not a semantic switch
+    when(size(a) === dim && size(b) === dim, unrolled)
+      .otherwise(aggregate(zip_with(a, b,
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** Squared L2 distance, unrolled like [[dotU]] — bit-identical to the
+    * interpreted `aggregate(zip_with(a, b, (x,y) => (x-y)²))` fold it
+    * replaces (same subtraction order, same left fold from 0.0), with
+    * the same width-guarded fallback. */
+  private def l2SqU(a: Column, b: Column, dim: Int = EmbDim): Column = {
+    val unrolled = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+      val d = get(a, lit(i)).cast("double") - get(b, lit(i)).cast("double")
+      acc + d * d
+    }
+    when(size(a) === dim && size(b) === dim, unrolled)
+      .otherwise(l2Sq(a, b))
+  }
+
+  /** Squared L2 distance between two double-array columns — the
+    * interpreted HOF shape: the spec the unrolled kernel replicates, and
+    * the fallback branch for non-[[EmbDim]] widths. */
   private def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
   /** L2-normalized copy of the embedding column (cosine ranking ⇒ cluster
-    * on the unit sphere, where L2 is monotone in cosine). */
+    * on the unit sphere, where L2 is monotone in cosine). r6: both the
+    * norm and the normalized copy are unrolled codegen ([[dotU]]) — the
+    * previous `transform(embedding, v => v / nrm)` referenced the OUTER
+    * `nrm` expression from inside an interpreted lambda, which re-derives
+    * it per ELEMENT once CollapseProject inlines the alias (the same
+    * 55×-interpreted-lambda trap [[wordRuns]] documents); the array
+    * constructor over indexed gets is codegen'd and CSE shares one norm
+    * per row. Same divisions in the same order ⇒ same doubles. */
   private def withNormalized(emb: DataFrame): DataFrame =
     emb
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("embedding"),
-        col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (x, y) => x + y)))
-      .withColumn("ne", transform(col("embedding"),
-        v => v.cast("double") / col("nrm")))
+      .withColumn("nrm", sqrt(dotU(col("embedding"), col("embedding"))))
+      .withColumn("ne",
+        when(size(col("embedding")) === EmbDim,
+          array((0 until EmbDim).map(i =>
+            get(col("embedding"), lit(i)).cast("double") / col("nrm")): _*))
+        .otherwise(transform(col("embedding"),
+          v => v.cast("double") / col("nrm"))))
 
-  private def dotCos(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y,
-        (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Exact cosine between two raw embedding columns:
+    * dot(a,b) / (√dot(a,a) · √dot(b,b)), all three dots [[dotU]]-unrolled
+    * (bit-identical to the interpreted original). Call sites that verify
+    * MANY pairs per vector hoist the two norm factors to the per-vector
+    * frames instead (same expression, evaluated once per vector rather
+    * than once per pair) — see [[annCosineTopK]]. */
+  private def dotCos(a: Column, b: Column): Column =
+    dotU(a, b) / (sqrt(dotU(a, a)) * sqrt(dotU(b, b)))
 
   /** Brute-force cosine top-k (the exactness baseline). Queries = every
     * 50th vector. Scale path: broadcast the (small) query set, one pass
-    * over the corpus, per-query top-k via window. */
+    * over the corpus, per-query top-k via window (Spark plans the
+    * per-query k-cut as a partial WindowGroupLimit BEFORE the exchange,
+    * so only ≤ k rows per query per map partition ever shuffle).
+    *
+    * r6 (guide §1.2 per-task work): the pair cosine is
+    * dot(q,v) / (√dot(q,q) · √dot(v,v)) — the two norm factors depend on
+    * ONE side each, yet the original evaluated all three dots per PAIR
+    * (|Q| × n), spending a third of the flops re-deriving norms. The
+    * norms are now computed once per corpus vector (`en`) and once per
+    * query (`qn`, broadcast) — identical expressions, so the quotient is
+    * the same IEEE double — and the pair stage runs exactly one
+    * [[dotU]]-unrolled dot. */
   def annCosineTopK(spark: SparkSession, sfDir: String,
                     k: Int = 5): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
-    val q = e.where($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      .select($"vec_id", $"embedding",
+        sqrt(dotU($"embedding", $"embedding")).as("en"))
+    val q = embeddings(spark, sfDir).where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        sqrt(dotU($"embedding", $"embedding")).as("qn"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("cos", dotU($"qe", $"embedding") / ($"qn" * $"en"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -663,20 +909,29 @@ object PipelineOps {
     // sign-of-dot bucket bits over the md5-derived planes; the dot
     // accumulates in INDEX ORDER (aggregate over zip_with), mirrored by
     // the oracle's list_sum(list_transform) — identical fold, identical
-    // IEEE doubles on both engines
+    // IEEE doubles on both engines. Deliberately NOT unrolled — see
+    // [[dedupEmbeddingDf]]'s bucket note (codegen compile tax).
     def bucket(t: Int, e: Column): Column =
       (0 until planes).map { p =>
         val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
         when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
           lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
+    // one cached row per vector: bucket ids + the hoisted norm (the
+    // exact-cosine verify is dot/(qn·en) with both factors computed once
+    // per vector here, not once per candidate pair). The candidate
+    // pipeline keeps r5's join structure — an id-only restructure with
+    // join-back was tried and measured SLOWER here (the extra attach
+    // joins cost more than the arrays-through-dedup shuffle at these
+    // posting-list sizes; see OPTIMIZATION_r06.md).
     val e = e0.select($"vec_id" +: $"embedding" +:
+      sqrt(dotU($"embedding", $"embedding", dim)).as("en") +:
       (0 until nTables).map(t => bucket(t, $"embedding")
         .as(s"bkt$t")): _*).cache()
     // (table, bucket) posting lists, hot buckets dropped (cand side only:
     // a query whose bucket was dropped simply gets no candidates from
     // that table — its other tables still vote)
-    val tb = e.select($"vec_id", $"embedding",
+    val tb = e.select($"vec_id", $"embedding", $"en",
       posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
         .as(Seq("table", "bkt")))
     val keep = tb.groupBy($"table", $"bkt")
@@ -686,15 +941,16 @@ object PipelineOps {
     val q = tb.join(e0.where($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id")),
       tb("vec_id") === col("query_id"))
-      .select($"query_id", $"embedding".as("qe"), $"table", $"bkt")
+      .select($"query_id", $"embedding".as("qe"), $"en".as("qn"),
+        $"table", $"bkt")
     val cand = tb.join(keep, Seq("table", "bkt")).join(q, Seq("table", "bkt"))
       .where($"vec_id" =!= $"query_id")
-      .select($"query_id", $"qe", $"vec_id", $"embedding")
+      .select($"query_id", $"qe", $"qn", $"vec_id", $"embedding", $"en")
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
     cand
-      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("cos", dotU($"qe", $"embedding", dim) / ($"qn" * $"en"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -747,7 +1003,6 @@ object PipelineOps {
 
     def centroidLit(cs: Array[Array[Double]]): Column =
       array(cs.map(c => array(c.map(lit): _*)): _*)
-    def l2(a: Column, b: Column): Column = l2Sq(a, b)
 
     // deterministic training sample, ordered by md5 of the id rendered
     // as a string — the one hash both engines share, so the DuckDB
@@ -767,25 +1022,38 @@ object PipelineOps {
     val centroids = kmeansTrain(sample, kC, iters)
     val probeN = math.min(nProbe, kC)
 
+    // r6: the normalized copy `ne` is built by the unrolled codegen
+    // kernel in [[withNormalized]] (the old interpreted shape re-derived
+    // the norm per ELEMENT — the dominant cost of this op's index
+    // build); the per-centroid distance scan stays the interpreted
+    // transform-over-literal-centroids (a kC×dim unrolled projection
+    // costs more in one-time codegen compile than it saves — measured
+    // +4.4 s cold), and because `ne` is referenced from inside a lambda,
+    // CollapseProject keeps it materialized in its own Project, so the
+    // normalize work runs once per row. The exact-cosine verify norms
+    // ride from withNormalized (`nrm` ≡ √dot(embedding,embedding)) —
+    // computed once per vector / per query instead of once per pair.
     val (buckets, probes) =
       if (kC <= 64) {
-        // literal fast path: assignment is a codegen'd expression
+        def l2(a: Column, b: Column): Column = l2Sq(a, b)
+        // literal fast path: assignment over the materialized `ne`
         def nearest(emb: Column): Column = {
           val dists = transform(centroidLit(centroids), c => l2(c, emb))
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }
-        val b = e0.select($"vec_id", $"embedding",
+        val b = e0.select($"vec_id", $"embedding", $"nrm".as("en"),
           nearest($"ne").as("c"))
         val p = e0.where($"vec_id" % 50 === 0)
           .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+            $"nrm".as("qn"),
             transform(centroidLit(centroids), c => l2(c, $"ne"))
               .as("dists"))
-          .select($"query_id", $"qe", posexplode(
+          .select($"query_id", $"qe", $"qn", posexplode(
             slice(array_sort(zip_with($"dists",
               sequence(lit(0), lit(kC - 1)),
               (d, i) => struct(d.as("d"), i.as("i")))), 1, probeN))
             .as(Seq("p", "pc")))
-          .select($"query_id", $"qe", $"pc.i".as("c"))
+          .select($"query_id", $"qe", $"qn", $"pc.i".as("c"))
         (b, p)
       } else {
         // broadcast path: centroids as a broadcast table, nearest via
@@ -794,20 +1062,21 @@ object PipelineOps {
           centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
           .toDF("c", "cent")
         val b = e0.crossJoin(broadcast(cents))
-          .withColumn("d", l2($"cent", $"ne"))
+          .withColumn("d", l2SqU($"cent", $"ne"))
           .groupBy($"vec_id")
-          .agg(min_by(struct($"c", $"embedding"), struct($"d", $"c"))
-            .as("best"))
+          .agg(min_by(struct($"c", $"embedding", $"nrm"),
+            struct($"d", $"c")).as("best"))
           .select($"vec_id", $"best.embedding".as("embedding"),
-            $"best.c".as("c"))
+            $"best.nrm".as("en"), $"best.c".as("c"))
         val pw = Window.partitionBy($"query_id").orderBy($"d", $"c")
         val p = e0.where($"vec_id" % 50 === 0)
-          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"ne")
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+            $"nrm".as("qn"), $"ne")
           .crossJoin(broadcast(cents))
-          .withColumn("d", l2($"cent", $"ne"))
+          .withColumn("d", l2SqU($"cent", $"ne"))
           .withColumn("pr", row_number().over(pw))
           .where($"pr" <= probeN)
-          .select($"query_id", $"qe", $"c")
+          .select($"query_id", $"qe", $"qn", $"c")
         (b, p)
       }
 
@@ -825,7 +1094,7 @@ object PipelineOps {
       .orderBy($"cos".desc, $"vec_id")
     bc.join(keep, Seq("c")).join(probes, Seq("c"))
       .where($"vec_id" =!= $"query_id")
-      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("cos", dotU($"qe", $"embedding") / ($"qn" * $"en"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -914,37 +1183,41 @@ object PipelineOps {
     } yield (c, f, fineCents(c)(f).toSeq)).toDF("c", "f", "fcent")
 
     // index build = two broadcast nearest-centroid passes, cached once
-    // (the cache IS the materialized two-level inverted file)
+    // (the cache IS the materialized two-level inverted file). r6: the
+    // distance kernels are [[l2SqU]]-unrolled (same IEEE folds as the
+    // interpreted zip_with they replace) and the verify norms ride from
+    // withNormalized's `nrm` — per vector / per query, not per pair.
     val coarseAssign = e0.crossJoin(broadcast(coarseT))
-      .withColumn("d", l2Sq($"cent", $"ne"))
+      .withColumn("d", l2SqU($"cent", $"ne"))
       .groupBy($"vec_id")
-      .agg(min_by(struct($"c", $"ne", $"embedding"), struct($"d", $"c"))
-        .as("b"))
+      .agg(min_by(struct($"c", $"ne", $"embedding", $"nrm"),
+        struct($"d", $"c")).as("b"))
       .select($"vec_id", $"b.c".as("c"), $"b.ne".as("ne"),
-        $"b.embedding".as("embedding"))
+        $"b.embedding".as("embedding"), $"b.nrm".as("nrm"))
     val assign = coarseAssign.join(broadcast(fineT), Seq("c"))
-      .withColumn("d", l2Sq($"fcent", $"ne"))
+      .withColumn("d", l2SqU($"fcent", $"ne"))
       .groupBy($"vec_id")
-      .agg(min_by(struct($"c", $"f", $"embedding"), struct($"d", $"f"))
-        .as("b"))
+      .agg(min_by(struct($"c", $"f", $"embedding", $"nrm"),
+        struct($"d", $"f")).as("b"))
       .select($"vec_id", $"b.embedding".as("embedding"),
-        $"b.c".as("c"), $"b.f".as("f"))
+        $"b.nrm".as("en"), $"b.c".as("c"), $"b.f".as("f"))
       .cache()
 
     val pq = e0.where($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"ne")
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nrm".as("qn"), $"ne")
     val pcw = Window.partitionBy($"query_id").orderBy($"d", $"c")
     val pcells = pq.crossJoin(broadcast(coarseT))
-      .withColumn("d", l2Sq($"cent", $"ne"))
+      .withColumn("d", l2SqU($"cent", $"ne"))
       .withColumn("pr", row_number().over(pcw))
       .where($"pr" <= math.min(nProbeCoarse, kCoarse))
-      .select($"query_id", $"qe", $"ne", $"c")
+      .select($"query_id", $"qe", $"qn", $"ne", $"c")
     val pfw = Window.partitionBy($"query_id", $"c").orderBy($"d", $"f")
     val probes = pcells.join(broadcast(fineT), Seq("c"))
-      .withColumn("d", l2Sq($"fcent", $"ne"))
+      .withColumn("d", l2SqU($"fcent", $"ne"))
       .withColumn("pr", row_number().over(pfw))
       .where($"pr" <= nProbeFine)
-      .select($"query_id", $"qe", $"c", $"f")
+      .select($"query_id", $"qe", $"qn", $"c", $"f")
 
     // per-(cell, list) cap — the same hot-list fence as single-level
     val keep = assign.groupBy($"c", $"f").agg(count(lit(1)).as("lc"))
@@ -953,7 +1226,7 @@ object PipelineOps {
       .orderBy($"cos".desc, $"vec_id")
     assign.join(keep, Seq("c", "f")).join(probes, Seq("c", "f"))
       .where($"vec_id" =!= $"query_id")
-      .withColumn("cos", dotCos($"qe", $"embedding"))
+      .withColumn("cos", dotU($"qe", $"embedding") / ($"qn" * $"en"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -1051,22 +1324,21 @@ object PipelineOps {
       centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("c", "cent")
     val asg = e0.crossJoin(broadcast(cents))
-      .withColumn("d", l2Sq($"cent", $"ne"))
+      .withColumn("d", l2SqU($"cent", $"ne"))
       .groupBy($"vec_id")
       .agg(min_by(struct($"c", $"ne"), struct($"d", $"c")).as("b"))
       .select($"vec_id", $"b.c".as("c"), $"b.ne".as("ne"))
       .cache()
     val csz = asg.groupBy($"c").agg(count(lit(1)).as("cn"))
     // dot of pre-normalized vectors, accumulated in index order (the
-    // oracle's list_sum(list_transform) is the same left fold)
-    def dotNe(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    // oracle's list_sum(list_transform) is the same left fold; [[dotU]]
+    // unrolls it — double→double casts are erased by SimplifyCasts)
     val okc = csz.where($"cn" <= maxCluster).select($"c".as("okc"))
     val dups = asg.as("a")
       .join(asg.as("b"),
         $"a.c" === $"b.c" && $"a.vec_id" < $"b.vec_id")
       .join(broadcast(okc), $"a.c" === $"okc")
-      .where(dotNe($"a.ne", $"b.ne") >= tau)
+      .where(dotU($"a.ne", $"b.ne") >= tau)
       .select($"b.vec_id".as("vec_id")).distinct()
     asg.join(broadcast(csz), Seq("c"))
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
@@ -1100,7 +1372,7 @@ object PipelineOps {
                      targetLang: String = "en",
                      nBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     // bucket = first md5 byte mod nBuckets (cross-engine: DuckDB mirrors
     // the two-nibble hex parse; md5 of the UTF-8 bytes on both sides)
     def bucketOf(w: Column): Column =
@@ -1150,7 +1422,7 @@ object PipelineOps {
     * counts, argmax with fixed tie order). */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     val scoreCols = domainLists.map { case (name, list) =>
       size(filter(ws, w => w.isInCollection(list))).as(s"n_$name")
@@ -1168,7 +1440,7 @@ object PipelineOps {
   /** Quality scoring: integer counts + one rounded ratio set. */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     d.select(
       $"doc_id",
@@ -1186,7 +1458,7 @@ object PipelineOps {
     * (ceil(chars/4) per word, the common heuristic). */
   def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     d.select(
       $"doc_id",
@@ -1199,7 +1471,7 @@ object PipelineOps {
   /** Content fingerprint: md5 prefix + first/last shingle sketch. */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     d.select(
       $"doc_id",
@@ -1235,7 +1507,7 @@ object PipelineOps {
   def corpusMix(spark: SparkSession, sfDir: String,
                 epochs: Double = 1.5): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val counts = d.groupBy($"source").agg(count(lit(1)).as("cnt"))
     // whole-frame window over the per-source counts: rows = #sources
     val factors = counts
@@ -1270,7 +1542,7 @@ object PipelineOps {
     * longest run of the sorted multiset). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     val sh = shingles2(ws)
     val top = aggregate(array_sort(ws),
@@ -1321,7 +1593,7 @@ object PipelineOps {
   def packSequences(spark: SparkSession, sfDir: String,
                     budget: Long = 64L, buckets: Int = 256): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val toks = d.select($"doc_id",
       size(words($"text")).cast("long").as("n_tokens"))
     val maxId = toks.agg(max($"doc_id")).as[Long].head()
@@ -1493,7 +1765,7 @@ object PipelineOps {
   def sourceCap(spark: SparkSession, sfDir: String,
                 cap: Int = 10): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val counts = d.groupBy($"source").agg(count(lit(1)).as("n_source"))
     val over = counts.where($"n_source" > cap)
     val w = Window.partitionBy($"source")
@@ -1528,7 +1800,7 @@ object PipelineOps {
     * row_number — checked row-for-row by the gate. */
   def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val t = d.select($"doc_id",
       md5($"doc_id".cast("string").cast("binary")).as("shuffle_key"))
       .withColumn("b",
@@ -1622,7 +1894,7 @@ object PipelineOps {
     * [[textRepetition]]); no joins, no shuffle at all. */
   def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     val ws = words($"text")
     val sh = shingles2(ws)
     val top = aggregate(array_sort(ws),
@@ -1716,7 +1988,7 @@ object PipelineOps {
     * ((n+1) div 2, (9n+9) div 10) so both engines agree at every n. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    val d = documentsRaw(spark, sfDir)
     // ONE corpus scan: everything below re-aggregates this map-side-
     // reduced cube (|sources| × |lengths| × |langs| rows — driver-tiny
     // even at 10^12 docs)
