@@ -113,9 +113,13 @@ object Dig {
     val allRels = entities.where($"entity_kind" === "relation")
       .select($"id", $"members")
 
-    // transitive relation-member closure (per layer)
+    // transitive relation-member closure (per layer). r6: the seed frame
+    // is NOT checkpointed — it is one cheap filter over the cached `m`
+    // and checkpointing it eagerly serialized a full materialization
+    // pass before any other branch could start; the loop's own frames
+    // (newRels, the growing union) stay checkpointed, which is where
+    // lineage truncation actually matters.
     var mapRels = matchedRel.select($"layer", $"id", $"members")
-      .localCheckpoint(true)
     var frontier = mapRels
     var closed = false
     while (!closed) {
@@ -210,29 +214,26 @@ object Dig {
           array($"x").as("xs"), array($"y").as("ys"))).as("rings"),
         $"x".as("xmin"), $"y".as("ymin"), $"x".as("xmax"), $"y".as("ymax"))
 
-    // ---- linestring features: EVERY way in the map (osm.rs:248-253);
-    //      empty node list → skipped; missing node → empty line ----
+    // ---- linestring features (EVERY way in the map, osm.rs:248-253;
+    //      empty node list → skipped; missing node → empty line) and
+    //      way-polygon features (every CLOSED way in the map, no tag
+    //      re-check, osm.rs:161-177, 280-286), as ONE pass (r6): the two
+    //      branches ran the identical mapWays⋈wayCoords join and the
+    //      identical ring/bbox construction twice over disjoint layer
+    //      sets (a layer has exactly one geometry type) — the merged
+    //      predicate keeps the exact union of rows with half the join
+    //      and ring-assembly work. kind_rank is 1 for both. ----
     val lineLayers = layers.filter(_.geomTp == GeomTp.Linestring).map(_.name)
+    val polyLayers = layers.filter(_.geomTp == GeomTp.Polygon).map(_.name)
     val wayWithCoords = mapWays
       .join(wayCoords, mapWays("id") === wayCoords("way_id"), "left")
       .where(size($"node_refs") > 0)
-    val lineFeatures = wayWithCoords
-      .where($"layer".isin(lineLayers: _*))
-      .select($"layer", lit(1).as("kind_rank"), $"id",
-        vals($"id", $"tags").as("values"),
-        lineRings($"n_missing", $"xs", $"ys").as("rings"))
-      .withColumn("bb", ringsBBox($"rings"))
-      .select($"layer", $"kind_rank", $"id", $"values", $"rings",
-        $"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax")
-
-    // ---- way-polygon features: every CLOSED way in the map, no tag
-    //      re-check (osm.rs:161-177, 280-286) ----
-    val polyLayers = layers.filter(_.geomTp == GeomTp.Polygon).map(_.name)
-    val wayPolyFeatures = wayWithCoords
-      .where($"layer".isin(polyLayers: _*))
-      .where(size($"node_refs") > 1 &&
-        get($"node_refs", lit(0)) ===
-          get($"node_refs", size($"node_refs") - 1))
+    val lineAndWayPolyFeatures = wayWithCoords
+      .where($"layer".isin(lineLayers: _*) ||
+        ($"layer".isin(polyLayers: _*) &&
+          size($"node_refs") > 1 &&
+          get($"node_refs", lit(0)) ===
+            get($"node_refs", size($"node_refs") - 1)))
       .select($"layer", lit(1).as("kind_rank"), $"id",
         vals($"id", $"tags").as("values"),
         lineRings($"n_missing", $"xs", $"ys").as("rings"))
@@ -268,8 +269,7 @@ object Dig {
       .toDF()
 
     val all = pointFeatures
-      .unionByName(lineFeatures)
-      .unionByName(wayPolyFeatures)
+      .unionByName(lineAndWayPolyFeatures)
       .unionByName(relPolyFeatures.select(
         $"layer", $"kind_rank", $"id", $"values", $"rings",
         $"xmin", $"ymin", $"xmax", $"ymax"))
