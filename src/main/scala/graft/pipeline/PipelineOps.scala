@@ -52,7 +52,10 @@ object PipelineOps {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spread(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    spread(spark, embeddingsRaw(spark, sfDir))
+
+  def embeddingsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -146,7 +149,9 @@ object PipelineOps {
     * no binary casts). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    // raw read: this 16-bit variant's build is small enough that the
+    // spreading exchange measured slower than the serial scan
+    val d = documentsRaw(spark, sfDir)
     // r6: the 4 hex chars are parsed ONCE per word into a 16-bit int
     // (was: one substring+conv per BIT, 16× the parse work); each bit
     // then falls out of one shift+mask. Bit values are unchanged:
@@ -614,20 +619,11 @@ object PipelineOps {
     import spark.implicits._
     val planes =
       if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
-    // sign-of-dot bucket bits; dot accumulates in INDEX ORDER (aggregate
-    // over zip_with), mirrored by the oracle's list_sum(list_transform).
-    // Deliberately NOT unrolled (r6): nTables × planes × dim literal
-    // terms is a several-thousand-node projection whose one-time Janino
-    // compile costs more than the interpreted fold saves at bench scale
-    // (measured: +12 s cold on annLshTopK) — the per-element lambda here
-    // binds only lambda variables, so it avoids the outer-ref re-eval
-    // trap and stays O(planes·dim) per row.
-    def bucket(t: Int, e: Column): Column =
-      (0 until planes).map { p =>
-        val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
-        when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
-          lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // sign-of-dot bucket bits; dot accumulates in INDEX ORDER, mirrored
+    // by the oracle's list_sum(list_transform). r6: one [[LshBuckets]]
+    // codegen kernel for all tables (see annLshTopKDf's note).
+    val matrix = Array.tabulate(nTables)(t => Array.tabulate(planes)(p =>
+      Array.tabulate(dim)(i => embPlane(t, p, i))))
     // r6 cache/shuffle restructure (guide §2.3 "shuffle keys, not
     // payloads" and §8): the fingerprint frame is cached ONE row per
     // vector (bucket ids as columns + the hoisted norm) instead of the
@@ -637,9 +633,11 @@ object PipelineOps {
     // 64-dim payloads are re-attached by two joins against the cached
     // frame AFTER the pair set is deduped, so each surviving pair moves
     // its two embeddings exactly once into the exact-cosine verify.
-    val eb = e0.select(($"vec_id" +: $"embedding" +:
-      sqrt(dotU($"embedding", $"embedding", dim)).as("nr") +:
-      (0 until nTables).map(t => bucket(t, $"embedding").as(s"bkt$t"))): _*)
+    val eb = e0.select($"vec_id", $"embedding",
+        sqrt(dotU($"embedding", $"embedding", dim)).as("nr"),
+        PipelineExprs.lshBuckets($"embedding", matrix).as("bkts"))
+      .select(($"vec_id" +: $"embedding" +: $"nr" +:
+        (0 until nTables).map(t => get($"bkts", lit(t)).as(s"bkt$t"))): _*)
       .cache()
     val tb = eb.select($"vec_id",
       posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
@@ -897,7 +895,9 @@ object PipelineOps {
                  nTables: Int = 16, planesPerTable: Int = 0,
                  dim: Int = 64,
                  maxBucket: Int = AnnMaxBucket): DataFrame =
-    annLshTopKDf(spark, embeddings(spark, sfDir), k, nTables,
+    // raw read: with the LshBuckets codegen kernel the bucket build is
+    // ~100 MFlop — the spreading exchange measured as pure latency here
+    annLshTopKDf(spark, embeddingsRaw(spark, sfDir), k, nTables,
       planesPerTable, dim, maxBucket)
 
   def annLshTopKDf(spark: SparkSession, e0: DataFrame, k: Int,
@@ -907,16 +907,16 @@ object PipelineOps {
     val planes =
       if (planesPerTable > 0) planesPerTable else annPlanesFor(e0.count())
     // sign-of-dot bucket bits over the md5-derived planes; the dot
-    // accumulates in INDEX ORDER (aggregate over zip_with), mirrored by
-    // the oracle's list_sum(list_transform) — identical fold, identical
-    // IEEE doubles on both engines. Deliberately NOT unrolled — see
-    // [[dedupEmbeddingDf]]'s bucket note (codegen compile tax).
-    def bucket(t: Int, e: Column): Column =
-      (0 until planes).map { p =>
-        val pl = array(Array.tabulate(dim)(i => lit(embPlane(t, p, i))): _*)
-        when(aggregate(zip_with(pl, e, (x, v) => x * v.cast("double")),
-          lit(0.0), (a, v) => a + v) > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // accumulates in INDEX ORDER, mirrored by the oracle's
+    // list_sum(list_transform) — identical fold, identical IEEE doubles
+    // on both engines. r6: all tables' buckets come from ONE custom
+    // codegen kernel ([[LshBuckets]] — a generated loop over the plane
+    // matrix), replacing nTables × planes interpreted
+    // aggregate(zip_with) lambdas; a fully unrolled Column encoding was
+    // tried first and reverted (Janino compile tax, see
+    // OPTIMIZATION_r06.md).
+    val matrix = Array.tabulate(nTables)(t => Array.tabulate(planes)(p =>
+      Array.tabulate(dim)(i => embPlane(t, p, i))))
     // one cached row per vector: bucket ids + the hoisted norm (the
     // exact-cosine verify is dot/(qn·en) with both factors computed once
     // per vector here, not once per candidate pair). The candidate
@@ -924,10 +924,12 @@ object PipelineOps {
     // join-back was tried and measured SLOWER here (the extra attach
     // joins cost more than the arrays-through-dedup shuffle at these
     // posting-list sizes; see OPTIMIZATION_r06.md).
-    val e = e0.select($"vec_id" +: $"embedding" +:
-      sqrt(dotU($"embedding", $"embedding", dim)).as("en") +:
-      (0 until nTables).map(t => bucket(t, $"embedding")
-        .as(s"bkt$t")): _*).cache()
+    val e = e0.select($"vec_id", $"embedding",
+        sqrt(dotU($"embedding", $"embedding", dim)).as("en"),
+        PipelineExprs.lshBuckets($"embedding", matrix).as("bkts"))
+      .select($"vec_id" +: $"embedding" +: $"en" +:
+        (0 until nTables).map(t => get($"bkts", lit(t)).as(s"bkt$t")): _*)
+      .cache()
     // (table, bucket) posting lists, hot buckets dropped (cand side only:
     // a query whose bucket was dropped simply gets no candidates from
     // that table — its other tables still vote)
@@ -1001,9 +1003,6 @@ object PipelineOps {
       if (sampleSize > 0) sampleSize
       else math.min(65536, math.max(2048, 32 * wantClusters))
 
-    def centroidLit(cs: Array[Array[Double]]): Column =
-      array(cs.map(c => array(c.map(lit): _*)): _*)
-
     // deterministic training sample, ordered by md5 of the id rendered
     // as a string — the one hash both engines share, so the DuckDB
     // oracle re-derives the sample (and through it the whole quantizer)
@@ -1035,19 +1034,21 @@ object PipelineOps {
     // computed once per vector / per query instead of once per pair.
     val (buckets, probes) =
       if (kC <= 64) {
-        def l2(a: Column, b: Column): Column = l2Sq(a, b)
-        // literal fast path: assignment over the materialized `ne`
+        // literal fast path: per-centroid distances from ONE custom
+        // codegen kernel ([[CentroidDists]], a generated loop over the
+        // centroid matrix — same IEEE folds as the interpreted
+        // transform-of-zip_with it replaces)
+        def dists(emb: Column): Column =
+          PipelineExprs.centroidDists(emb, centroids)
         def nearest(emb: Column): Column = {
-          val dists = transform(centroidLit(centroids), c => l2(c, emb))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
+          val d = dists(emb)
+          (array_position(d, array_min(d)) - 1).cast("int")
         }
         val b = e0.select($"vec_id", $"embedding", $"nrm".as("en"),
           nearest($"ne").as("c"))
         val p = e0.where($"vec_id" % 50 === 0)
           .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-            $"nrm".as("qn"),
-            transform(centroidLit(centroids), c => l2(c, $"ne"))
-              .as("dists"))
+            $"nrm".as("qn"), dists($"ne").as("dists"))
           .select($"query_id", $"qe", $"qn", posexplode(
             slice(array_sort(zip_with($"dists",
               sequence(lit(0), lit(kC - 1)),
