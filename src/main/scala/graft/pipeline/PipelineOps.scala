@@ -228,8 +228,15 @@ object PipelineOps {
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val blk = dedupSimhashBlocks(spark, sfDir)
-      .cache() // one fingerprint build shared by candidates + verify
-    val posts = blk.select($"doc_id",
+      .cache() // one fingerprint build shared by both posting sides
+    // r6: the posting rows carry the WHOLE 4-block fingerprint, so the
+    // hamming verify is computed inline in the candidate self-join and
+    // reduced with the per-pair block count in the SAME aggregation —
+    // the previous shape re-joined the fingerprint table twice onto the
+    // grouped pairs (two more shuffles of the pair set). Hamming is
+    // identical for every posting row of a pair, so min() in the
+    // aggregate recovers exactly the value the join-back computed.
+    val posts = blk.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
       posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("blk", "v")))
     val keep = posts.groupBy($"blk", $"v")
       .agg(count(lit(1)).as("bc"))
@@ -237,21 +244,15 @@ object PipelineOps {
       .select($"blk", $"v")
     val f = posts.join(keep, Seq("blk", "v"))
       .repartition(candParts(spark), $"blk", $"v") // see candParts
-    val cand = f.as("a").join(f.as("b"), Seq("blk", "v"))
-      .where($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_blocks"))
     // hamming over ALL four blocks (the fence gates candidates only)
-    val ba = blk.select(($"doc_id".as("doc_a") +:
-      (0 until 4).map(k => col(s"b$k").as(s"a$k"))): _*)
-    val bb = blk.select(($"doc_id".as("doc_b") +:
-      (0 until 4).map(k => col(s"b$k").as(s"bb$k"))): _*)
     val ham = (0 until 4).flatMap { k =>
-      val x = col(s"a$k").bitwiseXOR(col(s"bb$k"))
+      val x = col(s"a.b$k").bitwiseXOR(col(s"b.b$k"))
       (0 until 16).map(j => shiftright(x, j).bitwiseAND(lit(1)))
     }.reduce(_ + _).cast("int")
-    cand.join(ba, "doc_a").join(bb, "doc_b")
-      .withColumn("hamming", ham)
+    f.as("a").join(f.as("b"), Seq("blk", "v"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_blocks"), min(ham).as("hamming"))
       .where($"hamming" <= SimhashHammingMax)
       .select($"doc_a", $"doc_b", $"hamming", $"n_blocks")
   }
